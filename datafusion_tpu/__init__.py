@@ -1,0 +1,52 @@
+"""datafusion_tpu — a TPU-native vectorized SQL/DataFrame query-execution engine.
+
+A from-scratch reimplementation of the *capabilities* of DataFusion + Ballista
+(reference: /root/reference, surveyed in SURVEY.md) designed TPU-first:
+
+- Columnar batches live in HBM as structure-of-arrays jax buffers with validity
+  masks and dictionary-encoded strings (instead of Arrow Rust arrays).
+- Operators are whole-column jit-compiled XLA programs (instead of Tokio
+  pull-based RecordBatch streams): filter/projection expression evaluation,
+  sort/segment based hash aggregate and equi-join, radix/lexicographic sort.
+- Multi-chip scale-out is SPMD over a jax.sharding.Mesh with all-to-all
+  hash shuffles over ICI (instead of Ballista's gRPC/Flight shuffle).
+
+Layer map mirrors the reference (SURVEY.md §1):
+  L0/L1 columnar substrate  -> datafusion_tpu.columnar, datafusion_tpu.types
+  L2 physical ops/exprs     -> datafusion_tpu.ops, datafusion_tpu.exprs,
+                               datafusion_tpu.functions
+  L3 logical plan/optimizer -> datafusion_tpu.logical, datafusion_tpu.optimizer
+       + SQL front end      -> datafusion_tpu.sql
+  L4 physical planning      -> datafusion_tpu.physical
+  L5 session/API            -> datafusion_tpu.execution
+  L6 catalog & datasources  -> datafusion_tpu.catalog, datafusion_tpu.datasource
+  L7 distributed            -> datafusion_tpu.parallel
+  L8 front ends/tooling     -> datafusion_tpu.cli, bench/
+"""
+
+import jax as _jax
+
+# The engine requires 64-bit ints/floats for SQL semantics (BIGINT, DOUBLE,
+# DECIMAL-as-int64).  TPU MXU work stays in 32/16-bit; columnar transforms are
+# memory-bound elementwise/segment ops where x64 emulation is acceptable.
+_jax.config.update("jax_enable_x64", True)
+
+from .errors import DataFusionError  # noqa: E402
+
+try:  # full API — available once all layers are present
+    from .execution.context import ExecutionConfig, ExecutionContext  # noqa: E402
+    from .execution.dataframe import DataFrame  # noqa: E402
+    from .logical.expr import col, lit  # noqa: E402
+except ImportError:  # pragma: no cover - partial builds during bring-up
+    pass
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ExecutionContext",
+    "ExecutionConfig",
+    "DataFrame",
+    "DataFusionError",
+    "col",
+    "lit",
+]

@@ -1,0 +1,86 @@
+"""Device-resident columns: structure-of-arrays with validity masks.
+
+Replaces Arrow arrays + validity bitmaps (reference L0, SURVEY.md §1) with
+jnp buffers in HBM: ``data`` (fixed-width storage dtype) + ``valid`` (bool
+mask).  Strings carry a host-side sorted StringDict (see dictionary.py).
+Buffers are padded to a static capacity; live-row count is tracked by the
+owning Table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types.dtypes import DataType
+from .dictionary import StringDict
+
+
+@dataclass
+class Column:
+    """One column: device data + device validity + logical type (+ dict)."""
+
+    dtype: DataType
+    data: jnp.ndarray  # shape (capacity,), storage dtype
+    valid: jnp.ndarray  # shape (capacity,), bool
+    dictionary: StringDict | None = None  # strings only
+
+    @property
+    def capacity(self) -> int:
+        return int(self.data.shape[0])
+
+    @staticmethod
+    def from_numpy(
+        dtype: DataType,
+        data: np.ndarray,
+        valid: np.ndarray | None = None,
+        dictionary: StringDict | None = None,
+        capacity: int | None = None,
+    ) -> "Column":
+        n = len(data)
+        cap = capacity if capacity is not None else n
+        storage = dtype.storage_np_dtype()
+        buf = np.zeros(cap, dtype=storage)
+        buf[:n] = data.astype(storage, copy=False)
+        v = np.zeros(cap, dtype=bool)
+        if valid is None:
+            v[:n] = True
+        else:
+            v[:n] = valid
+        return Column(dtype, jnp.asarray(buf), jnp.asarray(v), dictionary)
+
+    def to_numpy(self, nrows: int) -> tuple[np.ndarray, np.ndarray]:
+        """(data, valid) for the first ``nrows`` live rows, as numpy."""
+        return np.asarray(self.data[:nrows]), np.asarray(self.valid[:nrows])
+
+    def to_pylist(self, nrows: int) -> list:
+        """Decode to Python values (strings decoded, decimals rescaled)."""
+        data, valid = self.to_numpy(nrows)
+        if self.dtype.is_string:
+            assert self.dictionary is not None
+            vals = self.dictionary.decode(data)
+            return [v if ok else None for v, ok in zip(vals, valid)]
+        if self.dtype.is_decimal:
+            scale = 10 ** self.dtype.scale
+            return [int(v) / scale if ok else None for v, ok in zip(data, valid)]
+        if self.dtype.is_bool:
+            return [bool(v) if ok else None for v, ok in zip(data, valid)]
+        if self.dtype.is_float:
+            return [float(v) if ok else None for v, ok in zip(data, valid)]
+        return [v.item() if ok else None for v, ok in zip(data, valid)]
+
+    def with_capacity(self, capacity: int) -> "Column":
+        """Grow/shrink padding to a new static capacity."""
+        cap = self.capacity
+        if capacity == cap:
+            return self
+        if capacity > cap:
+            pad = capacity - cap
+            data = jnp.concatenate([self.data, jnp.zeros(pad, self.data.dtype)])
+            valid = jnp.concatenate([self.valid, jnp.zeros(pad, bool)])
+        else:
+            data = self.data[:capacity]
+            valid = self.valid[:capacity]
+        return Column(self.dtype, data, valid, self.dictionary)

@@ -1,0 +1,208 @@
+"""Device-resident tables (the engine's RecordBatch equivalent).
+
+A Table is an ordered set of equally-sized padded Columns plus a live-row
+count.  It replaces the reference's streamed Arrow RecordBatches
+(/root/reference/datafusion/src/physical_plan/mod.rs:141-197): instead of
+many small batches pulled through async streams, a table is ONE set of large
+HBM buffers transformed whole by jitted XLA programs — the shape XLA tiles
+best on TPU.
+
+Padding: capacity is rounded up (powers of two ≥ 128) so repeated queries
+over similarly-sized data reuse compiled programs.  Rows in [nrows, capacity)
+are dead; kernels mask them with ``arange(capacity) < nrows`` where nrows is
+passed as a *traced* scalar so changing row counts do not recompile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+from ..errors import InternalError
+from ..types import Field, Schema
+from ..types.dtypes import DataType
+from .column import Column
+from .dictionary import StringDict
+
+
+def round_capacity(n: int) -> int:
+    """Static buffer capacity for n rows: power of two, min 128."""
+    if n <= 128:
+        return 128
+    return 1 << (n - 1).bit_length()
+
+
+class Table:
+    def __init__(self, names: list[str], columns: list[Column], nrows: int):
+        if len(names) != len(columns):
+            raise InternalError("names/columns length mismatch")
+        caps = {c.capacity for c in columns}
+        if len(caps) > 1:
+            raise InternalError(f"ragged column capacities: {caps}")
+        self.names = list(names)
+        self.columns = list(columns)
+        self.nrows = int(nrows)
+
+    # ---- shape -------------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.columns[0].capacity if self.columns else round_capacity(self.nrows)
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.columns)
+
+    def schema(self) -> Schema:
+        return Schema(
+            [Field(n, c.dtype, True) for n, c in zip(self.names, self.columns)]
+        )
+
+    def column(self, name: str) -> Column:
+        return self.columns[self.names.index(name)]
+
+    # ---- construction --------------------------------------------------------
+    @staticmethod
+    def from_pydict(data: dict, dtypes: dict[str, DataType] | None = None) -> "Table":
+        """Build from {name: list/np.ndarray}; infers types via pandas."""
+        names, cols = [], []
+        nrows = None
+        for name, values in data.items():
+            col, n = _ingest_values(values, dtypes.get(name) if dtypes else None)
+            if nrows is None:
+                nrows = n
+            elif nrows != n:
+                raise InternalError("ragged input columns")
+            names.append(name)
+            cols.append(col)
+        nrows = nrows or 0
+        cap = round_capacity(nrows)
+        cols = [c.with_capacity(cap) for c in cols]
+        return Table(names, cols, nrows)
+
+    @staticmethod
+    def from_pandas(df: pd.DataFrame, dtypes: dict[str, DataType] | None = None) -> "Table":
+        return Table.from_pydict(
+            {c: df[c].to_numpy() for c in df.columns}, dtypes=dtypes
+        )
+
+    @staticmethod
+    def from_arrow(batch) -> "Table":
+        """Ingest a pyarrow Table/RecordBatch."""
+        from .ingest import arrow_to_table
+
+        return arrow_to_table(batch)
+
+    @staticmethod
+    def empty(schema: Schema) -> "Table":
+        cap = 128
+        cols = []
+        for f in schema.fields:
+            d = StringDict.empty() if f.dtype.is_string else None
+            cols.append(
+                Column(
+                    f.dtype,
+                    jnp.zeros(cap, f.dtype.storage_np_dtype()),
+                    jnp.zeros(cap, bool),
+                    d,
+                )
+            )
+        return Table(schema.names(), cols, 0)
+
+    # ---- export ----------------------------------------------------------------
+    def to_pydict(self) -> dict[str, list]:
+        return {
+            n: c.to_pylist(self.nrows) for n, c in zip(self.names, self.columns)
+        }
+
+    def to_pandas(self) -> pd.DataFrame:
+        return pd.DataFrame(self.to_pydict())
+
+    def to_arrow(self):
+        from .ingest import table_to_arrow
+
+        return table_to_arrow(self)
+
+    # ---- manipulation -------------------------------------------------------
+    def with_capacity(self, capacity: int) -> "Table":
+        return Table(
+            self.names, [c.with_capacity(capacity) for c in self.columns], self.nrows
+        )
+
+    def select(self, names: list[str]) -> "Table":
+        cols = [self.column(n) for n in names]
+        return Table(list(names), cols, self.nrows)
+
+    def __repr__(self) -> str:
+        return (
+            f"Table[{self.nrows} rows (cap {self.capacity}), "
+            + ", ".join(
+                f"{n}:{c.dtype!r}" for n, c in zip(self.names, self.columns)
+            )
+            + "]"
+        )
+
+
+def _ingest_values(values, dtype: DataType | None) -> tuple[Column, int]:
+    """Convert one host column (list / np array) into a device Column."""
+    from ..types.dtypes import (
+        BOOL,
+        DATE32,
+        FLOAT64,
+        INT64,
+        STRING,
+        TIMESTAMP_US,
+    )
+
+    arr = np.asarray(values)
+    n = len(arr)
+
+    if dtype is not None and dtype.is_string:
+        d, codes = StringDict.from_strings(list(values))
+        valid = np.array([v is not None for v in values], dtype=bool)
+        return Column.from_numpy(dtype, codes, valid, d), n
+
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        items = list(values)
+        if all(isinstance(v, str) or v is None for v in items):
+            d, codes = StringDict.from_strings(items)
+            valid = np.array([v is not None for v in items], dtype=bool)
+            return Column.from_numpy(STRING, codes, valid, d), n
+        # object column of numbers with Nones
+        valid = np.array([v is not None and v == v for v in items], dtype=bool)
+        nums = np.array([v if ok else 0 for v, ok in zip(items, valid)], dtype=np.float64)
+        dt = dtype or (
+            INT64 if all(isinstance(v, (int, np.integer)) for v, ok in zip(items, valid) if ok) else FLOAT64
+        )
+        return Column.from_numpy(dt, nums, valid), n
+
+    if np.issubdtype(arr.dtype, np.datetime64):
+        us = arr.astype("datetime64[us]").astype(np.int64)
+        valid = ~np.isnat(arr)
+        dt = dtype or TIMESTAMP_US
+        if dt == DATE32:
+            us = arr.astype("datetime64[D]").astype(np.int64)
+        return Column.from_numpy(dt, np.where(valid, us, 0), valid), n
+
+    if arr.dtype == np.bool_:
+        return Column.from_numpy(dtype or BOOL, arr), n
+
+    if np.issubdtype(arr.dtype, np.floating):
+        valid = ~np.isnan(arr)
+        dt = dtype or (FLOAT64 if arr.dtype == np.float64 else DataType("float32"))
+        if dt.is_decimal:
+            scaled = np.round(np.where(valid, arr, 0) * 10 ** dt.scale).astype(np.int64)
+            return Column.from_numpy(dt, scaled, valid), n
+        if dt.is_integer:
+            return Column.from_numpy(dt, np.where(valid, arr, 0), valid), n
+        return Column.from_numpy(dt, np.where(valid, arr, 0.0), valid), n
+
+    if np.issubdtype(arr.dtype, np.integer):
+        dt = dtype or DataType(str(arr.dtype))
+        if dt.is_decimal:
+            scaled = arr.astype(np.int64) * 10 ** dt.scale
+            return Column.from_numpy(dt, scaled), n
+        return Column.from_numpy(dt, arr), n
+
+    raise InternalError(f"cannot ingest column of dtype {arr.dtype}")

@@ -1,0 +1,677 @@
+"""Physical expressions: vectorized, null-propagating evaluation over device
+columns.
+
+Equivalent of the reference's PhysicalExpr implementations
+(/root/reference/datafusion/src/physical_plan/expressions/: Column, Literal,
+BinaryExpr w/ scalar fast paths binary.rs, CaseExpr, CastExpr/TryCastExpr,
+InListExpr, IsNull/IsNotNull/Not/Negative, LIKE) — but instead of per-batch
+Arrow kernels, each node evaluates as whole-column jnp ops so a full operator
+evaluation traces into one fused XLA program.
+
+String semantics ride on sorted dictionaries (columnar/dictionary.py):
+- col <op> 'literal'  -> integer compare against the literal's code /
+  insertion point (host lookup at evaluate time, device compare);
+- col1 <op> col2      -> harmonize dictionaries (host merge) then integer
+  compare of remapped codes;
+- LIKE / string fns   -> per-distinct-value host computation shipped as a
+  code-indexed LUT, applied with one device gather.
+
+Null semantics follow SQL three-valued logic (Kleene AND/OR), matching the
+reference's arrow kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..columnar.column import Column as CVec
+from ..columnar.dictionary import StringDict
+from ..columnar.table import Table
+from ..errors import ExecutionError, InternalError, PlanError
+from ..types import ScalarValue
+from ..types.dtypes import (
+    BOOL,
+    DATE32,
+    FLOAT64,
+    INT64,
+    INTERVAL_DT,
+    INTERVAL_YM,
+    NULLTYPE,
+    STRING,
+    TIMESTAMP_US,
+    DataType,
+    decimal,
+    numeric_common_type,
+)
+
+# ---------------------------------------------------------------------------
+# base
+# ---------------------------------------------------------------------------
+
+
+class PhysicalExpr:
+    """Evaluate against a Table -> Column of the same capacity."""
+
+    dtype: DataType
+
+    def evaluate(self, table: Table) -> CVec:
+        raise NotImplementedError
+
+    def children(self) -> list["PhysicalExpr"]:
+        return []
+
+
+def _const_column(capacity: int, sv: ScalarValue, dictionary: StringDict | None = None) -> CVec:
+    dt = sv.dtype
+    if sv.is_null:
+        return CVec(
+            dt,
+            jnp.zeros(capacity, dt.storage_np_dtype()),
+            jnp.zeros(capacity, bool),
+            dictionary,
+        )
+    if dt.is_string:
+        d = dictionary
+        if d is None or d.code_of(sv.value) is None:
+            d = StringDict(np.array([sv.value], dtype=object))
+            code = 0
+        else:
+            code = d.code_of(sv.value)
+        return CVec(
+            dt,
+            jnp.full(capacity, code, jnp.int32),
+            jnp.ones(capacity, bool),
+            d,
+        )
+    return CVec(
+        dt,
+        jnp.full(capacity, sv.value, dt.storage_np_dtype()),
+        jnp.ones(capacity, bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# leaves
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PhysCol(PhysicalExpr):
+    name: str
+    index: int
+    dtype: DataType
+
+    def evaluate(self, table: Table) -> CVec:
+        return table.columns[self.index]
+
+    def __repr__(self):
+        return f"{self.name}@{self.index}"
+
+
+@dataclass
+class PhysLit(PhysicalExpr):
+    value: ScalarValue
+
+    @property
+    def dtype(self) -> DataType:
+        return self.value.dtype
+
+    def evaluate(self, table: Table) -> CVec:
+        return _const_column(table.capacity, self.value)
+
+    def __repr__(self):
+        return repr(self.value)
+
+
+# ---------------------------------------------------------------------------
+# helpers: casting / harmonization
+# ---------------------------------------------------------------------------
+
+
+def cast_column(col: CVec, to: DataType, capacity: int | None = None, safe: bool = False) -> CVec:
+    """Cast a column to another type (CastExpr equivalent, cast.rs)."""
+    frm = col.dtype
+    if frm == to:
+        return col
+    if frm == NULLTYPE:
+        return CVec(
+            to,
+            jnp.zeros(col.data.shape[0], to.storage_np_dtype()),
+            jnp.zeros(col.data.shape[0], bool),
+            StringDict.empty() if to.is_string else None,
+        )
+    data, valid = col.data, col.valid
+
+    # ---- from string: decode via dictionary (host, per distinct value) ----
+    if frm.is_string:
+        d = col.dictionary
+        assert d is not None
+        if to.is_string:
+            return col
+
+        def parse(s: str):
+            try:
+                if to.is_integer:
+                    return int(s)
+                if to.is_float:
+                    return float(s)
+                if to.is_decimal:
+                    return int(round(float(s) * 10 ** to.scale))
+                if to == DATE32:
+                    return (np.datetime64(s, "D") - np.datetime64(0, "D")).astype(int)
+                if to == TIMESTAMP_US:
+                    return (
+                        np.datetime64(s, "us") - np.datetime64(0, "us")
+                    ).astype(int)
+                if to.is_bool:
+                    return s.lower() in ("t", "true", "1", "yes")
+            except (ValueError, TypeError):
+                return None
+            return None
+
+        lut_vals = [parse(s) for s in d.values]
+        ok = np.array([v is not None for v in lut_vals], dtype=bool)
+        if not safe and not ok.all() and len(ok):
+            bad = [s for s, o in zip(d.values, ok) if not o]
+            raise ExecutionError(f"cannot cast {bad[:3]} to {to!r}")
+        lut = np.array(
+            [v if v is not None else 0 for v in lut_vals],
+            dtype=to.storage_np_dtype(),
+        )
+        if len(lut) == 0:
+            lut = np.zeros(1, dtype=to.storage_np_dtype())
+            okl = np.zeros(1, dtype=bool)
+        else:
+            okl = ok
+        codes = jnp.clip(data, 0, len(lut) - 1)
+        new_data = jnp.asarray(lut)[codes]
+        new_valid = valid & jnp.asarray(okl)[codes]
+        return CVec(to, new_data, new_valid)
+
+    # ---- to string: encode via host round-trip (rare; small outputs) ------
+    if to.is_string:
+        host = np.asarray(data)
+        hv = np.asarray(valid)
+        if frm.is_decimal:
+            strs = [
+                f"{v / 10**frm.scale:.{frm.scale}f}" if ok else None
+                for v, ok in zip(host, hv)
+            ]
+        elif frm == DATE32:
+            strs = [
+                str(np.datetime64(int(v), "D")) if ok else None
+                for v, ok in zip(host, hv)
+            ]
+        else:
+            strs = [str(v) if ok else None for v, ok in zip(host, hv)]
+        d2, codes = StringDict.from_strings(strs)
+        return CVec(STRING, jnp.asarray(codes), valid, d2)
+
+    # ---- numeric/temporal device casts -------------------------------------
+    if frm.is_decimal and to.is_decimal:
+        ds = to.scale - frm.scale
+        if ds >= 0:
+            new = data * (10**ds)
+        else:
+            new = _div_round_half_away(data, 10 ** (-ds))
+        return CVec(to, new.astype(to.storage_np_dtype()), valid)
+    if frm.is_decimal:
+        f = data.astype(jnp.float64) / (10**frm.scale)
+        if to.is_float:
+            return CVec(to, f.astype(to.storage_np_dtype()), valid)
+        if to.is_integer:
+            return CVec(to, jnp.trunc(f).astype(to.storage_np_dtype()), valid)
+        if to.is_bool:
+            return CVec(to, data != 0, valid)
+    if to.is_decimal:
+        if frm.is_integer:
+            return CVec(
+                to, data.astype(jnp.int64) * (10**to.scale), valid
+            )
+        if frm.is_float:
+            scaled = jnp.round(data.astype(jnp.float64) * (10**to.scale))
+            return CVec(to, scaled.astype(jnp.int64), valid)
+        if frm.is_bool:
+            return CVec(to, data.astype(jnp.int64) * (10**to.scale), valid)
+    if frm == DATE32 and to == TIMESTAMP_US:
+        us = data.astype(jnp.int64) * 86_400_000_000
+        return CVec(to, us, valid)
+    if frm == TIMESTAMP_US and to == DATE32:
+        days = jnp.floor_divide(data, 86_400_000_000)
+        return CVec(to, days.astype(jnp.int32), valid)
+    # plain numeric/bool cast
+    return CVec(to, data.astype(to.storage_np_dtype()), valid)
+
+
+def _div_round_half_away(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Integer division with round-half-away-from-zero (SQL decimal style)."""
+    sign = jnp.where(x < 0, -1, 1)
+    return sign * ((jnp.abs(x) + d // 2) // d)
+
+
+def harmonize_strings(a: CVec, b: CVec) -> tuple[CVec, CVec]:
+    """Remap two string columns onto one merged sorted dictionary."""
+    assert a.dictionary is not None and b.dictionary is not None
+    if a.dictionary is b.dictionary:
+        return a, b
+    merged, ra, rb = StringDict.merge(a.dictionary, b.dictionary)
+    ja = jnp.asarray(ra) if len(ra) else jnp.zeros(1, jnp.int32)
+    jb = jnp.asarray(rb) if len(rb) else jnp.zeros(1, jnp.int32)
+    a2 = CVec(a.dtype, ja[jnp.clip(a.data, 0, max(len(ra) - 1, 0))], a.valid, merged)
+    b2 = CVec(b.dtype, jb[jnp.clip(b.data, 0, max(len(rb) - 1, 0))], b.valid, merged)
+    return a2, b2
+
+
+# ---------------------------------------------------------------------------
+# binary
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PhysBinary(PhysicalExpr):
+    left: PhysicalExpr
+    op: str
+    right: PhysicalExpr
+    dtype: DataType
+
+    def children(self):
+        return [self.left, self.right]
+
+    def evaluate(self, table: Table) -> CVec:
+        l = self.left.evaluate(table)
+        r = self.right.evaluate(table)
+        op = self.op
+
+        if op in ("and", "or"):
+            return _kleene(l, r, op)
+
+        # string comparisons via dictionary codes
+        if l.dtype.is_string and r.dtype.is_string:
+            if op in ("like", "not like"):
+                return _like(l, r, negated=(op == "not like"))
+            l, r = harmonize_strings(l, r)
+            return _compare(l.data, r.data, l.valid & r.valid, op)
+
+        if op in ("like", "not like"):
+            raise PlanError("LIKE requires string operands")
+
+        # temporal arithmetic
+        t = _temporal_arith(l, r, op)
+        if t is not None:
+            return t
+
+        # numeric coercion
+        common = numeric_common_type(l.dtype, r.dtype)
+        if common is None and l.dtype == r.dtype:
+            common = l.dtype
+        if common is None:
+            raise PlanError(f"cannot apply {op} to {l.dtype!r}, {r.dtype!r}")
+
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            lc = cast_column(l, common)
+            rc = cast_column(r, common)
+            return _compare(lc.data, rc.data, lc.valid & rc.valid, op)
+
+        # arithmetic
+        valid = l.valid & r.valid
+        if common.is_decimal and op in ("+", "-", "*", "/", "%"):
+            return _decimal_arith(l, r, op, valid)
+        lc = cast_column(l, common)
+        rc = cast_column(r, common)
+        a, b = lc.data, rc.data
+        if op == "+":
+            out = a + b
+        elif op == "-":
+            out = a - b
+        elif op == "*":
+            out = a * b
+        elif op == "/":
+            if common.is_integer:
+                out = _trunc_div(a, b)
+                valid = valid & (b != 0)
+            else:
+                out = a / b
+        elif op == "%":
+            if common.is_float:
+                out = jnp.where(b == 0, jnp.nan, jnp.fmod(a, jnp.where(b == 0, 1, b)))
+            else:
+                out = a - jnp.where(b == 0, 1, b) * _trunc_div(a, b)
+                valid = valid & (b != 0)
+        else:
+            raise PlanError(f"unknown operator {op}")
+        return CVec(self.dtype, out.astype(self.dtype.storage_np_dtype()), valid)
+
+    def __repr__(self):
+        return f"({self.left!r} {self.op} {self.right!r})"
+
+
+def _trunc_div(a, b):
+    """Integer division truncating toward zero (SQL semantics); b==0 slots
+    produce garbage that callers mask via validity."""
+    sb = jnp.where(b == 0, 1, b)
+    q = jnp.abs(a) // jnp.abs(sb)
+    return jnp.where((a < 0) != (sb < 0), -q, q).astype(a.dtype)
+
+
+def _compare(a, b, valid, op) -> CVec:
+    if op == "=":
+        out = a == b
+    elif op == "!=":
+        out = a != b
+    elif op == "<":
+        out = a < b
+    elif op == "<=":
+        out = a <= b
+    elif op == ">":
+        out = a > b
+    else:
+        out = a >= b
+    return CVec(BOOL, out, valid)
+
+
+def _kleene(l: CVec, r: CVec, op: str) -> CVec:
+    """SQL three-valued AND/OR (arrow's and_kleene/or_kleene)."""
+    a = l.data.astype(bool)
+    b = r.data.astype(bool)
+    av, bv = l.valid, r.valid
+    if op == "and":
+        out = a & b
+        valid = (av & bv) | (av & ~a) | (bv & ~b)
+    else:
+        out = a | b
+        valid = (av & bv) | (av & a) | (bv & b)
+    return CVec(BOOL, out, valid)
+
+
+def _temporal_arith(l: CVec, r: CVec, op: str) -> Optional[CVec]:
+    lt, rt = l.dtype, r.dtype
+    valid = l.valid & r.valid
+    # date/timestamp +- interval
+    for a, b, flip in ((l, r, False), (r, l, True)):
+        if a.dtype in (DATE32, TIMESTAMP_US) and b.dtype in (INTERVAL_YM, INTERVAL_DT):
+            if flip and op == "-":
+                return None  # interval - date is invalid
+            sign = 1 if op == "+" else -1
+            if b.dtype == INTERVAL_DT:
+                ms = b.data.astype(jnp.int64) * sign
+                if a.dtype == DATE32:
+                    days = ms // 86_400_000
+                    return CVec(DATE32, (a.data + days).astype(jnp.int32), valid)
+                return CVec(TIMESTAMP_US, a.data + ms * 1000, valid)
+            # interval months: calendar-aware add
+            from ..functions.datetime_fns import add_months_days
+
+            months = b.data.astype(jnp.int32) * sign
+            if a.dtype == DATE32:
+                return CVec(DATE32, add_months_days(a.data, months), valid)
+            days = jnp.floor_divide(a.data, 86_400_000_000).astype(jnp.int32)
+            rem = a.data - days.astype(jnp.int64) * 86_400_000_000
+            nd = add_months_days(days, months)
+            return CVec(TIMESTAMP_US, nd.astype(jnp.int64) * 86_400_000_000 + rem, valid)
+    if lt == DATE32 and rt == DATE32 and op == "-":
+        return CVec(INT64, (l.data.astype(jnp.int64) - r.data.astype(jnp.int64)), valid)
+    if lt == TIMESTAMP_US and rt == TIMESTAMP_US and op == "-":
+        ms = (l.data - r.data) // 1000
+        return CVec(INTERVAL_DT, ms, valid)
+    if lt in (INTERVAL_YM, INTERVAL_DT) and rt == lt and op in ("+", "-"):
+        out = l.data + r.data if op == "+" else l.data - r.data
+        return CVec(lt, out, valid)
+    return None
+
+
+def _decimal_arith(l: CVec, r: CVec, op: str, valid) -> CVec:
+    """Exact decimal arithmetic on scaled ints (fork Int64Decimal style)."""
+    ls = l.dtype.scale if l.dtype.is_decimal else 0
+    rs = r.dtype.scale if r.dtype.is_decimal else 0
+    if not l.dtype.is_decimal:
+        l = cast_column(l, decimal(38, 0))
+    if not r.dtype.is_decimal:
+        r = cast_column(r, decimal(38, 0))
+    a = l.data.astype(jnp.int64)
+    b = r.data.astype(jnp.int64)
+    if op in ("+", "-"):
+        s = max(ls, rs)
+        a = a * (10 ** (s - ls))
+        b = b * (10 ** (s - rs))
+        out = a + b if op == "+" else a - b
+        return CVec(decimal(38, s), out, valid)
+    if op == "*":
+        return CVec(decimal(38, ls + rs), a * b, valid)
+    if op == "/":
+        # decimal division computed in float64 (reference promotes too)
+        fa = a.astype(jnp.float64) / (10**ls)
+        fb = b.astype(jnp.float64) / (10**rs)
+        ok = b != 0
+        out = jnp.where(ok, fa / jnp.where(ok, fb, 1.0), 0.0)
+        return CVec(FLOAT64, out, valid & ok)
+    if op == "%":
+        s = max(ls, rs)
+        a = a * (10 ** (s - ls))
+        b = b * (10 ** (s - rs))
+        ok = b != 0
+        sb = jnp.where(ok, b, 1)
+        out = jnp.sign(a) * (jnp.abs(a) % jnp.abs(sb))
+        return CVec(decimal(38, s), out, valid & ok)
+    raise PlanError(f"decimal op {op}")
+
+
+def _like(l: CVec, r: CVec, negated: bool) -> CVec:
+    """LIKE col vs literal pattern: compile the pattern once per distinct
+    value of the column's dictionary (host), gather LUT on device."""
+    pat_dict = r.dictionary
+    assert pat_dict is not None and len(pat_dict) >= 1
+    pattern = str(pat_dict.values[0])
+    regex = _like_regex(pattern)
+    d = l.dictionary
+    assert d is not None
+    lut = d.predicate_lut(lambda s: bool(regex.match(s)))
+    if negated:
+        lut = ~lut
+    if len(lut) == 0:
+        lut = np.zeros(1, dtype=bool)
+    out = jnp.asarray(lut)[jnp.clip(l.data, 0, len(lut) - 1)]
+    return CVec(BOOL, out, l.valid & r.valid)
+
+
+def _like_regex(pattern: str):
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$", re.S)
+
+
+# ---------------------------------------------------------------------------
+# unary / misc
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PhysNot(PhysicalExpr):
+    expr: PhysicalExpr
+    dtype: DataType = BOOL
+
+    def children(self):
+        return [self.expr]
+
+    def evaluate(self, table):
+        c = self.expr.evaluate(table)
+        return CVec(BOOL, ~c.data.astype(bool), c.valid)
+
+
+@dataclass
+class PhysNegative(PhysicalExpr):
+    expr: PhysicalExpr
+    dtype: DataType = FLOAT64
+
+    def children(self):
+        return [self.expr]
+
+    def evaluate(self, table):
+        c = self.expr.evaluate(table)
+        return CVec(c.dtype, -c.data, c.valid)
+
+
+@dataclass
+class PhysIsNull(PhysicalExpr):
+    expr: PhysicalExpr
+    negated: bool = False
+    dtype: DataType = BOOL
+
+    def children(self):
+        return [self.expr]
+
+    def evaluate(self, table):
+        c = self.expr.evaluate(table)
+        out = c.valid if self.negated else ~c.valid
+        return CVec(BOOL, out, jnp.ones_like(c.valid))
+
+
+@dataclass
+class PhysCase(PhysicalExpr):
+    base: Optional[PhysicalExpr]
+    when_then: list[tuple[PhysicalExpr, PhysicalExpr]]
+    else_expr: Optional[PhysicalExpr]
+    dtype: DataType
+
+    def children(self):
+        out = [self.base] if self.base else []
+        for w, t in self.when_then:
+            out += [w, t]
+        if self.else_expr:
+            out.append(self.else_expr)
+        return out
+
+    def evaluate(self, table: Table) -> CVec:
+        cap = table.capacity
+        base = self.base.evaluate(table) if self.base is not None else None
+        out = jnp.zeros(cap, self.dtype.storage_np_dtype())
+        valid = jnp.zeros(cap, bool)
+        decided = jnp.zeros(cap, bool)
+        out_dict: StringDict | None = None
+        branches = []
+        for w, t in self.when_then:
+            branches.append((w, t))
+        for w, t in branches:
+            if base is not None:
+                wc = w.evaluate(table)
+                bb, ww = (base, wc)
+                if base.dtype.is_string:
+                    bb, ww = harmonize_strings(base, wc)
+                cond = (bb.data == ww.data) & bb.valid & ww.valid
+            else:
+                wc = w.evaluate(table)
+                cond = wc.data.astype(bool) & wc.valid
+            tv = cast_column(t.evaluate(table), self.dtype)
+            if self.dtype.is_string:
+                if out_dict is None:
+                    out_dict = tv.dictionary
+                    out_codes = tv.data
+                else:
+                    prev = CVec(STRING, out, valid, out_dict)
+                    prev, tv = harmonize_strings(prev, tv)
+                    out_dict = prev.dictionary
+                    out = prev.data
+            take = cond & ~decided
+            out = jnp.where(take, tv.data, out)
+            valid = jnp.where(take, tv.valid, valid)
+            decided = decided | take
+        if self.else_expr is not None:
+            ev = cast_column(self.else_expr.evaluate(table), self.dtype)
+            if self.dtype.is_string and out_dict is not None:
+                prev = CVec(STRING, out, valid, out_dict)
+                prev, ev = harmonize_strings(prev, ev)
+                out_dict = prev.dictionary
+                out = prev.data
+            out = jnp.where(~decided, ev.data, out)
+            valid = jnp.where(~decided, ev.valid, valid)
+        else:
+            valid = valid & decided
+        return CVec(self.dtype, out, valid, out_dict)
+
+
+@dataclass
+class PhysInList(PhysicalExpr):
+    expr: PhysicalExpr
+    values: list[ScalarValue]
+    negated: bool = False
+    dtype: DataType = BOOL
+
+    def children(self):
+        return [self.expr]
+
+    def evaluate(self, table: Table) -> CVec:
+        c = self.expr.evaluate(table)
+        if c.dtype.is_string:
+            d = c.dictionary
+            assert d is not None
+            member = set()
+            for v in self.values:
+                if v.value is not None:
+                    code = d.code_of(str(v.value))
+                    if code is not None:
+                        member.add(code)
+            lut = np.zeros(max(len(d), 1), dtype=bool)
+            for code in member:
+                lut[code] = True
+            hit = jnp.asarray(lut)[jnp.clip(c.data, 0, max(len(d) - 1, 0))]
+        else:
+            hit = jnp.zeros(c.data.shape[0], bool)
+            for v in self.values:
+                if v.value is None:
+                    continue
+                vv = v.value
+                if c.dtype.is_decimal and v.dtype.is_decimal:
+                    vv = vv * 10 ** (c.dtype.scale - v.dtype.scale)
+                elif c.dtype.is_decimal:
+                    vv = int(round(float(vv) * 10**c.dtype.scale))
+                hit = hit | (c.data == vv)
+        out = ~hit if self.negated else hit
+        # SQL: x IN (..) is NULL if x is NULL (or no match and list has NULL)
+        has_null = any(v.value is None for v in self.values)
+        valid = c.valid
+        if has_null:
+            valid = valid & hit if not self.negated else valid & ~(~hit)
+        return CVec(BOOL, out, valid)
+
+
+@dataclass
+class PhysCast(PhysicalExpr):
+    expr: PhysicalExpr
+    dtype: DataType
+    safe: bool = False
+
+    def children(self):
+        return [self.expr]
+
+    def evaluate(self, table):
+        return cast_column(self.expr.evaluate(table), self.dtype, safe=self.safe)
+
+
+@dataclass
+class PhysScalarFunction(PhysicalExpr):
+    name: str
+    args: list[PhysicalExpr]
+    dtype: DataType
+
+    def children(self):
+        return list(self.args)
+
+    def evaluate(self, table: Table) -> CVec:
+        from ..functions.registry import dispatch_scalar
+
+        arg_cols = [a.evaluate(table) for a in self.args]
+        return dispatch_scalar(self.name, arg_cols, self.dtype, table.capacity)
+
+    def __repr__(self):
+        return f"{self.name}({', '.join(map(repr, self.args))})"

@@ -1,0 +1,460 @@
+"""HashAggregateExec equivalent: sort/segment-based vectorized GROUP BY.
+
+Reference: /root/reference/datafusion/src/physical_plan/hash_aggregate.rs
+(1,860 LoC) — hashbrown raw-entry map keyed on encoded GroupByScalar rows,
+per-group Accumulator objects, modes Partial/Final/Full/FinalPartitioned
+(:90-106), row-by-row `group_aggregate_batch` hot loop (:409).
+
+TPU-native design (SURVEY.md §7): no hash table at all on-device.  Rows are
+lexicographically sorted by their (order-isomorphic int64) group keys with
+XLA's stable sort, group ids come from boundary detection + cumsum, and every
+aggregate becomes a segment reduction — deterministic order, fully
+vectorized, O(n log n) with n = whole-buffer rows.  Two-phase distributed
+aggregation (Partial -> shuffle by key -> Final) reuses the same kernel with
+merge semantics on the partial state columns, mirroring the reference's
+Partial/FinalPartitioned split (planner.rs:526-601).
+
+Aggregate state layout (partial columns per logical aggregate):
+  count       -> [count:i64]                 final: sum
+  sum         -> [sum:T, count:i64]          final: sum (count tracks null-ness)
+  min/max     -> [min:T, count:i64]          final: min/max
+  avg         -> [sum:f64, count:i64]        final: sum/count
+  var/stddev  -> [n:i64, sum:f64, sumsq:f64] final: moments
+  covar/corr  -> [n, sx, sy, sxy, sxx, syy]  final: moments
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..columnar.column import Column
+from ..columnar.table import Table, round_capacity
+from ..errors import InternalError, PlanError
+from ..exprs.physical import PhysicalExpr, cast_column
+from ..types import Field, Schema
+from ..types.dtypes import (
+    BOOL,
+    DataType,
+    FLOAT64,
+    INT64,
+    UINT64,
+)
+from ..functions.aggregates import aggregate_return_type
+from . import kernels as K
+from .base import ExecutionPlan
+
+
+class PhysAggExpr:
+    """One aggregate: function name + input expression (+ distinct flag)."""
+
+    def __init__(self, fun: str, expr: PhysicalExpr | None, name: str, distinct: bool = False):
+        self.fun = fun.lower()
+        if self.fun == "mean":
+            self.fun = "avg"
+        self.expr = expr  # None => COUNT(*)
+        self.name = name
+        self.distinct = distinct
+
+    def return_type(self) -> DataType:
+        if self.expr is None:
+            return INT64
+        return aggregate_return_type(self.fun, [self.expr.dtype])
+
+    # ---- partial state schema ------------------------------------------------
+    def state_fields(self) -> list[tuple[str, DataType]]:
+        rt = self.return_type()
+        f = self.fun
+        if f == "count":
+            return [(f"{self.name}[count]", INT64)]
+        if f == "sum":
+            return [(f"{self.name}[sum]", rt), (f"{self.name}[count]", INT64)]
+        if f in ("min", "max"):
+            t = self.expr.dtype
+            return [(f"{self.name}[{f}]", t), (f"{self.name}[count]", INT64)]
+        if f == "avg":
+            return [(f"{self.name}[sum]", FLOAT64), (f"{self.name}[count]", INT64)]
+        if f in ("variance", "var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop"):
+            return [
+                (f"{self.name}[n]", INT64),
+                (f"{self.name}[sum]", FLOAT64),
+                (f"{self.name}[sumsq]", FLOAT64),
+            ]
+        if f in ("covar", "covar_samp", "covar_pop", "corr"):
+            return [
+                (f"{self.name}[n]", INT64),
+                (f"{self.name}[sx]", FLOAT64),
+                (f"{self.name}[sy]", FLOAT64),
+                (f"{self.name}[sxy]", FLOAT64),
+                (f"{self.name}[sxx]", FLOAT64),
+                (f"{self.name}[syy]", FLOAT64),
+            ]
+        raise PlanError(f"aggregate '{self.fun}' not supported")
+
+    def __repr__(self):
+        d = "DISTINCT " if self.distinct else ""
+        arg = repr(self.expr) if self.expr is not None else "*"
+        return f"{self.fun}({d}{arg})"
+
+
+class HashAggregateExec(ExecutionPlan):
+    """mode: 'single' | 'partial' | 'final'.
+
+    single : raw rows in, final values out
+    partial: raw rows in, state columns out (for shuffle)
+    final  : state columns in (schema = group keys + state), final values out
+    """
+
+    def __init__(
+        self,
+        mode: str,
+        group_expr: list[tuple[PhysicalExpr, str]],
+        aggr_expr: list[PhysAggExpr],
+        input: ExecutionPlan,
+    ):
+        super().__init__()
+        if mode not in ("single", "partial", "final"):
+            raise InternalError(f"bad aggregate mode {mode}")
+        self.mode = mode
+        self.group_expr = group_expr
+        self.aggr_expr = aggr_expr
+        self.input = input
+
+    def schema(self) -> Schema:
+        fields = [Field(name, e.dtype, True) for e, name in self.group_expr]
+        if self.mode == "partial":
+            for a in self.aggr_expr:
+                for sname, sdt in a.state_fields():
+                    fields.append(Field(sname, sdt, True))
+        else:
+            for a in self.aggr_expr:
+                fields.append(Field(a.name, a.return_type(), True))
+        return Schema(fields)
+
+    def children(self):
+        return [self.input]
+
+    def with_new_children(self, c):
+        return HashAggregateExec(self.mode, self.group_expr, self.aggr_expr, c[0])
+
+    # ------------------------------------------------------------------
+    def _execute(self) -> Table:
+        t = self.input.execute()
+        if self.mode == "final":
+            return self._execute_final(t)
+        return self._execute_raw(t)
+
+    # ---- phase 1: raw rows -> per-group states / final values -----------
+    def _execute_raw(self, t: Table) -> Table:
+        cap = t.capacity
+        nrows = np.int64(t.nrows)
+
+        key_cols = [e.evaluate(t) for e, _ in self.group_expr]
+        if key_cols:
+            perm, gid, ngroups_dev, sorted_keys = _group_rows(key_cols, nrows)
+            ngroups = int(ngroups_dev)
+        else:
+            perm = jnp.arange(cap)
+            gid = jnp.where(jnp.arange(cap) < t.nrows, 0, cap - 1)
+            ngroups = 1
+            sorted_keys = []
+
+        alive_sorted = jnp.arange(cap) < t.nrows  # perm puts live rows first
+
+        names: list[str] = [n for _, n in self.group_expr]
+        out_cols: list[Column] = []
+
+        # group key output columns: first row of each segment
+        for kc, (skd, skv) in zip(key_cols, sorted_keys):
+            first_idx = _segment_first_index(gid, cap, alive_sorted)
+            data = skd[first_idx]
+            valid = skv[first_idx] & (jnp.arange(cap) < ngroups)
+            out_cols.append(Column(kc.dtype, data, valid, kc.dictionary))
+
+        # aggregates
+        for a in self.aggr_expr:
+            cols = _eval_aggregate(
+                a, t, perm, gid, cap, alive_sorted, ngroups,
+                emit_state=(self.mode == "partial"),
+            )
+            if self.mode == "partial":
+                for (sname, _), c in zip(a.state_fields(), cols):
+                    names.append(sname)
+                    out_cols.append(c)
+            else:
+                names.append(a.name)
+                out_cols.append(cols[0])
+
+        out = Table(names, out_cols, ngroups)
+        # shrink to a sensible capacity for downstream operators
+        tgt = round_capacity(ngroups)
+        if tgt < out.capacity:
+            out = out.with_capacity(tgt)
+        return out
+
+    # ---- phase 2: merge state columns ------------------------------------
+    def _execute_final(self, t: Table) -> Table:
+        cap = t.capacity
+        nrows = np.int64(t.nrows)
+        nkeys = len(self.group_expr)
+        key_cols = t.columns[:nkeys]
+
+        if key_cols:
+            perm, gid, ngroups_dev, sorted_keys = _group_rows(key_cols, nrows)
+            ngroups = int(ngroups_dev)
+        else:
+            perm = jnp.arange(cap)
+            gid = jnp.where(jnp.arange(cap) < t.nrows, 0, cap - 1)
+            ngroups = 1
+            sorted_keys = []
+
+        alive_sorted = jnp.arange(cap) < t.nrows
+
+        names = [n for _, n in self.group_expr]
+        out_cols: list[Column] = []
+        for kc, (skd, skv) in zip(key_cols, sorted_keys):
+            first_idx = _segment_first_index(gid, cap, alive_sorted)
+            data = skd[first_idx]
+            valid = skv[first_idx] & (jnp.arange(cap) < ngroups)
+            out_cols.append(Column(kc.dtype, data, valid, kc.dictionary))
+
+        # state columns follow the group keys in input schema order
+        idx = nkeys
+        for a in self.aggr_expr:
+            nstate = len(a.state_fields())
+            state_cols = t.columns[idx : idx + nstate]
+            idx += nstate
+            merged = _merge_aggregate(
+                a, state_cols, perm, gid, cap, alive_sorted, ngroups
+            )
+            names.append(a.name)
+            out_cols.append(merged)
+
+        out = Table(names, out_cols, ngroups)
+        tgt = round_capacity(ngroups)
+        if tgt < out.capacity:
+            out = out.with_capacity(tgt)
+        return out
+
+    def _display_line(self):
+        return (
+            f"HashAggregateExec[{self.mode}]: "
+            f"group={[n for _, n in self.group_expr]}, aggr={self.aggr_expr}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _group_rows(key_cols, nrows):
+    """Sort rows by group keys; return (perm, gid, ngroups, sorted key bufs)."""
+    ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
+    valids = tuple(c.valid for c in key_cols)
+    perm = K.lexsort_perm(
+        ordkeys,
+        valids,
+        nrows,
+        tuple(False for _ in key_cols),
+        tuple(True for _ in key_cols),
+    )
+    sorted_data = tuple(c.data[perm] for c in key_cols)
+    sorted_valid = tuple(v[perm] for v in valids)
+    sorted_ord = tuple(k[perm] for k in ordkeys)
+    gid, ngroups = K.group_ids_sorted(sorted_ord, sorted_valid, nrows)
+    return perm, gid, ngroups, list(zip(sorted_data, sorted_valid))
+
+
+def _segment_first_index(gid, cap, alive):
+    """Index (into sorted order) of the first row of each segment."""
+    ar = jnp.arange(cap)
+    # scatter-min of row index per gid
+    first = jnp.full(cap, cap - 1, gid.dtype).at[gid].min(jnp.where(alive, ar, cap - 1))
+    return first
+
+
+def _prepare_value(col: Column):
+    """Aggregation input as numeric array + valid mask."""
+    return col.data, col.valid
+
+
+def _eval_aggregate(a: PhysAggExpr, t: Table, perm, gid, cap, alive, ngroups, emit_state: bool):
+    """Compute one aggregate over sorted/grouped rows.
+
+    Returns list of state Columns (emit_state) or [final Column]."""
+    f = a.fun
+    if a.distinct and f not in ("count", "sum", "avg", "min", "max"):
+        raise PlanError(f"DISTINCT not supported for {f}")
+
+    if a.expr is None:  # COUNT(*)
+        cnt = K.segment_sum(alive.astype(jnp.int64), gid, cap)
+        col = Column(INT64, cnt, jnp.arange(cap) < ngroups)
+        return [col]
+
+    v = a.expr.evaluate(t)
+    data = v.data[perm]
+    valid = v.valid[perm] & alive
+
+    if a.distinct:
+        # mask duplicate (group, value) pairs so each distinct value counts once
+        data, valid = _distinct_mask(v, perm, gid, data, valid, cap)
+
+    gvalid = jnp.arange(cap) < ngroups
+
+    if f == "count":
+        cnt = K.segment_sum(valid.astype(jnp.int64), gid, cap)
+        return [Column(INT64, cnt, gvalid)]
+
+    if f == "sum":
+        rt = a.return_type()
+        acc = data.astype(rt.storage_np_dtype())
+        s = K.segment_sum(jnp.where(valid, acc, 0), gid, cap)
+        cnt = K.segment_sum(valid.astype(jnp.int64), gid, cap)
+        sum_col = Column(rt, s, gvalid & (cnt > 0))
+        if emit_state:
+            return [sum_col, Column(INT64, cnt, gvalid)]
+        return [sum_col]
+
+    if f in ("min", "max"):
+        t_in = v.dtype
+        ordk = K.orderable_key(data, t_in)
+        if t_in.is_float:
+            neutral = jnp.inf if f == "min" else -jnp.inf
+            vals = jnp.where(valid, data, neutral)
+            red = K.segment_min(vals, gid, cap) if f == "min" else K.segment_max(vals, gid, cap)
+            out_data = red.astype(t_in.storage_np_dtype())
+        else:
+            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            vals = jnp.where(valid, ordk, big)
+            red = K.segment_min(vals, gid, cap) if f == "min" else K.segment_max(vals, gid, cap)
+            out_data = red.astype(t_in.storage_np_dtype())
+        cnt = K.segment_sum(valid.astype(jnp.int64), gid, cap)
+        col = Column(t_in, out_data, gvalid & (cnt > 0), v.dictionary)
+        if emit_state:
+            return [col, Column(INT64, cnt, gvalid)]
+        return [col]
+
+    if f == "avg":
+        fd = _to_float(data, v.dtype)
+        s = K.segment_sum(jnp.where(valid, fd, 0.0), gid, cap)
+        cnt = K.segment_sum(valid.astype(jnp.int64), gid, cap)
+        if emit_state:
+            return [Column(FLOAT64, s, gvalid), Column(INT64, cnt, gvalid)]
+        mean = s / jnp.maximum(cnt, 1)
+        return [Column(FLOAT64, mean, gvalid & (cnt > 0))]
+
+    if f in ("variance", "var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop"):
+        fd = _to_float(data, v.dtype)
+        n = K.segment_sum(valid.astype(jnp.int64), gid, cap)
+        s = K.segment_sum(jnp.where(valid, fd, 0.0), gid, cap)
+        ss = K.segment_sum(jnp.where(valid, fd * fd, 0.0), gid, cap)
+        if emit_state:
+            return [
+                Column(INT64, n, gvalid),
+                Column(FLOAT64, s, gvalid),
+                Column(FLOAT64, ss, gvalid),
+            ]
+        return [_finalize_var(f, n, s, ss, gvalid)]
+
+    raise PlanError(f"aggregate '{f}' not implemented")
+
+
+def _distinct_mask(v, perm, gid, data, valid, cap):
+    """Keep the first occurrence of each (group, value) pair; null out rest.
+
+    Sorts rows by (gid, value) and detects boundaries — same primitive as
+    grouping itself (the reference uses per-group HashSets,
+    distinct_expressions.rs)."""
+    ordv = K.orderable_key(data, v.dtype)
+    order = jnp.argsort(
+        jnp.where(valid, ordv, jnp.iinfo(jnp.int64).max), stable=True
+    )
+    order = order[jnp.argsort(gid[order], stable=True)]
+    g2 = gid[order]
+    d2 = ordv[order]
+    va2 = valid[order]
+    prev_same = (
+        (g2 == jnp.roll(g2, 1)) & (d2 == jnp.roll(d2, 1)) & (va2 & jnp.roll(va2, 1))
+    )
+    prev_same = prev_same.at[0].set(False)
+    keep = va2 & ~prev_same
+    # scatter back to sorted-row order
+    keep_unsorted = jnp.zeros(cap, bool).at[order].set(keep)
+    return data, valid & keep_unsorted
+
+
+def _merge_aggregate(a: PhysAggExpr, state_cols, perm, gid, cap, alive, ngroups):
+    """Final phase: reduce partial state columns into final values."""
+    f = a.fun
+    gvalid = jnp.arange(cap) < ngroups
+
+    def sort_col(c):
+        return c.data[perm], c.valid[perm] & alive
+
+    if a.expr is None or f == "count":
+        d, va = sort_col(state_cols[0])
+        s = K.segment_sum(jnp.where(va, d, 0), gid, cap)
+        return Column(INT64, s, gvalid)
+    if f == "sum":
+        rt = a.return_type()
+        d, _ = sort_col(state_cols[0])
+        c, cv = sort_col(state_cols[1])
+        s = K.segment_sum(jnp.where(cv, d, 0).astype(rt.storage_np_dtype()), gid, cap)
+        cnt = K.segment_sum(jnp.where(cv, c, 0), gid, cap)
+        return Column(rt, s, gvalid & (cnt > 0))
+    if f in ("min", "max"):
+        t_in = state_cols[0].dtype
+        d, _ = sort_col(state_cols[0])
+        c, cv = sort_col(state_cols[1])
+        has = cv & (c > 0)
+        if t_in.is_float:
+            neutral = jnp.inf if f == "min" else -jnp.inf
+            vals = jnp.where(has, d, neutral)
+            red = K.segment_min(vals, gid, cap) if f == "min" else K.segment_max(vals, gid, cap)
+            out = red.astype(t_in.storage_np_dtype())
+        else:
+            ordk = K.orderable_key(d, t_in)
+            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            vals = jnp.where(has, ordk, big)
+            red = K.segment_min(vals, gid, cap) if f == "min" else K.segment_max(vals, gid, cap)
+            out = red.astype(t_in.storage_np_dtype())
+        cnt = K.segment_sum(jnp.where(cv, c, 0), gid, cap)
+        return Column(t_in, out, gvalid & (cnt > 0), state_cols[0].dictionary)
+    if f == "avg":
+        d, _ = sort_col(state_cols[0])
+        c, cv = sort_col(state_cols[1])
+        s = K.segment_sum(jnp.where(cv, d, 0.0), gid, cap)
+        cnt = K.segment_sum(jnp.where(cv, c, 0), gid, cap)
+        return Column(FLOAT64, s / jnp.maximum(cnt, 1), gvalid & (cnt > 0))
+    if f in ("variance", "var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop"):
+        n, nv = sort_col(state_cols[0])
+        s, _ = sort_col(state_cols[1])
+        ss, _ = sort_col(state_cols[2])
+        N = K.segment_sum(jnp.where(nv, n, 0), gid, cap)
+        S = K.segment_sum(jnp.where(nv, s, 0.0), gid, cap)
+        SS = K.segment_sum(jnp.where(nv, ss, 0.0), gid, cap)
+        return _finalize_var(f, N, S, SS, gvalid)
+    raise PlanError(f"merge for aggregate '{f}' not implemented")
+
+
+def _finalize_var(f, n, s, ss, gvalid):
+    nf = n.astype(jnp.float64)
+    mean = s / jnp.maximum(nf, 1.0)
+    m2 = ss - nf * mean * mean
+    pop = f.endswith("_pop")
+    denom = jnp.maximum(nf if pop else nf - 1.0, 1.0)
+    var = m2 / denom
+    var = jnp.maximum(var, 0.0)
+    if f.startswith("stddev"):
+        out = jnp.sqrt(var)
+    else:
+        out = var
+    min_n = 1 if pop else 2
+    return Column(FLOAT64, out, gvalid & (n >= min_n))
+
+
+def _to_float(data, dtype):
+    if dtype.is_decimal:
+        return data.astype(jnp.float64) / (10**dtype.scale)
+    return data.astype(jnp.float64)

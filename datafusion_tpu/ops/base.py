@@ -1,0 +1,107 @@
+"""ExecutionPlan: the physical operator contract.
+
+Equivalent of the reference's ExecutionPlan trait
+(/root/reference/datafusion/src/physical_plan/mod.rs:152-197) with the key
+TPU-native difference (SURVEY.md §7): instead of per-partition async
+RecordBatch streams pulled by Tokio tasks, execute() transforms ONE
+device-resident Table per call.  Partition parallelism maps to SPMD mesh
+sharding (datafusion_tpu/parallel), not to operator-level streams, so the
+single-device contract stays synchronous and whole-table.
+
+Per-operator metrics mirror SQLMetric (mod.rs:59-122).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from ..columnar.table import Table
+from ..types import Schema
+
+
+@dataclass
+class SQLMetric:
+    """Counter or nanosecond timer (reference physical_plan/mod.rs:59-122)."""
+
+    name: str
+    value: int = 0
+    is_time: bool = False
+
+    def add(self, n: int):
+        self.value += n
+
+
+class MetricsSet:
+    def __init__(self):
+        self._metrics: dict[str, SQLMetric] = {}
+
+    def counter(self, name: str) -> SQLMetric:
+        if name not in self._metrics:
+            self._metrics[name] = SQLMetric(name)
+        return self._metrics[name]
+
+    def timer(self, name: str) -> SQLMetric:
+        if name not in self._metrics:
+            self._metrics[name] = SQLMetric(name, is_time=True)
+        return self._metrics[name]
+
+    def items(self):
+        return self._metrics.items()
+
+
+class ExecutionPlan:
+    """Base physical operator."""
+
+    def __init__(self):
+        self.metrics = MetricsSet()
+
+    def schema(self) -> Schema:
+        raise NotImplementedError
+
+    def children(self) -> list["ExecutionPlan"]:
+        return []
+
+    def with_new_children(self, children: list["ExecutionPlan"]) -> "ExecutionPlan":
+        raise NotImplementedError
+
+    def execute(self) -> Table:
+        """Run this operator (and its inputs) to completion on this device."""
+        t0 = time.perf_counter_ns()
+        out = self._execute()
+        self.metrics.timer("elapsed_ns").add(time.perf_counter_ns() - t0)
+        self.metrics.counter("output_rows").add(out.nrows)
+        return out
+
+    def _execute(self) -> Table:
+        raise NotImplementedError
+
+    # ---- hints for the planner/optimizer (OptimizerHints, mod.rs:129-139) --
+    def output_sort_order(self) -> list[int] | None:
+        return None
+
+    # ---- display -------------------------------------------------------------
+    def display(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        s = pad + self._display_line()
+        for c in self.children():
+            s += "\n" + c.display(indent + 1)
+        return s
+
+    def _display_line(self) -> str:
+        return type(self).__name__
+
+    def __repr__(self):
+        return self.display()
+
+
+def collect_plan_metrics(plan: ExecutionPlan, out=None) -> dict:
+    """Harvest metrics from a plan tree (plan_metrics, mod.rs:322)."""
+    out = out if out is not None else {}
+    key = type(plan).__name__
+    for name, m in plan.metrics.items():
+        out.setdefault(f"{key}.{name}", 0)
+        out[f"{key}.{name}"] += m.value
+    for c in plan.children():
+        collect_plan_metrics(c, out)
+    return out

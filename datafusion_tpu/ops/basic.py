@@ -1,0 +1,293 @@
+"""Basic physical operators: scan, projection, filter, limit/skip, union,
+empty, values, explain.
+
+Reference equivalents:
+- MemoryExec      (/root/reference/datafusion/src/physical_plan/memory.rs:39)
+- ProjectionExec  (projection.rs:45)
+- FilterExec      (filter.rs:48)  -> mask + cumsum-scatter compaction kernel
+- GlobalLimitExec/LocalLimitExec (limit.rs:44,146) -> row-count clamp (live
+  rows are always compacted to the front, so LIMIT is O(1))
+- SkipExec        (fork OFFSET, skip.rs:41) -> static left-shift
+- UnionExec       (union.rs:34) -> buffer concatenation + dict harmonization
+- EmptyExec/ExplainExec (empty.rs:37, explain.rs:38)
+- CoalesceBatchesExec/CoalescePartitionsExec are unnecessary here: tables are
+  single whole buffers by construction (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..columnar.column import Column
+from ..columnar.dictionary import StringDict
+from ..columnar.table import Table, round_capacity
+from ..errors import InternalError
+from ..exprs.physical import PhysicalExpr, cast_column, harmonize_strings
+from ..types import Field, Schema
+from ..types.dtypes import STRING, DataType
+from . import kernels as K
+from .base import ExecutionPlan
+
+
+class MemoryExec(ExecutionPlan):
+    def __init__(self, table: Table, schema: Schema, projection: list[int] | None = None):
+        super().__init__()
+        self.table = table
+        self._schema = schema
+        self.projection = projection
+
+    def schema(self):
+        if self.projection is None:
+            return self._schema
+        return self._schema.project(self.projection)
+
+    def with_new_children(self, c):
+        return self
+
+    def _execute(self) -> Table:
+        t = self.table
+        if self.projection is not None:
+            names = [t.names[i] for i in self.projection]
+            t = t.select(names)
+        return t
+
+    def _display_line(self):
+        return f"MemoryExec: {self.table.nrows} rows"
+
+
+class ProjectionExec(ExecutionPlan):
+    def __init__(self, exprs: list[tuple[PhysicalExpr, str]], input: ExecutionPlan):
+        super().__init__()
+        self.exprs = exprs
+        self.input = input
+
+    def schema(self):
+        in_schema = self.input.schema()
+        return Schema([Field(name, e.dtype, True) for e, name in self.exprs])
+
+    def children(self):
+        return [self.input]
+
+    def with_new_children(self, c):
+        return ProjectionExec(self.exprs, c[0])
+
+    def _execute(self) -> Table:
+        t = self.input.execute()
+        cols = [e.evaluate(t) for e, _ in self.exprs]
+        names = [name for _, name in self.exprs]
+        return Table(names, cols, t.nrows)
+
+    def _display_line(self):
+        return f"ProjectionExec: {[n for _, n in self.exprs]}"
+
+
+class FilterExec(ExecutionPlan):
+    def __init__(self, predicate: PhysicalExpr, input: ExecutionPlan):
+        super().__init__()
+        self.predicate = predicate
+        self.input = input
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def with_new_children(self, c):
+        return FilterExec(self.predicate, c[0])
+
+    def _execute(self) -> Table:
+        t = self.input.execute()
+        pred = self.predicate.evaluate(t)
+        keep = pred.data.astype(bool) & pred.valid
+        datas = tuple(c.data for c in t.columns)
+        valids = tuple(c.valid for c in t.columns)
+        d2, v2, cnt = K.filter_compact(datas, valids, keep, np.int64(t.nrows))
+        cols = [
+            Column(c.dtype, d, v, c.dictionary)
+            for c, d, v in zip(t.columns, d2, v2)
+        ]
+        return Table(t.names, cols, int(cnt))
+
+    def _display_line(self):
+        return f"FilterExec: {self.predicate!r}"
+
+
+class GlobalLimitExec(ExecutionPlan):
+    def __init__(self, n: int, input: ExecutionPlan):
+        super().__init__()
+        self.n = n
+        self.input = input
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def with_new_children(self, c):
+        return GlobalLimitExec(self.n, c[0])
+
+    def _execute(self) -> Table:
+        t = self.input.execute()
+        return Table(t.names, t.columns, min(t.nrows, self.n))
+
+    def _display_line(self):
+        return f"GlobalLimitExec: {self.n}"
+
+
+class SkipExec(ExecutionPlan):
+    """OFFSET (fork's skip.rs:41): shift live rows left by n."""
+
+    def __init__(self, n: int, input: ExecutionPlan):
+        super().__init__()
+        self.n = n
+        self.input = input
+
+    def schema(self):
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def with_new_children(self, c):
+        return SkipExec(self.n, c[0])
+
+    def _execute(self) -> Table:
+        t = self.input.execute()
+        n = min(self.n, t.nrows)
+        if n == 0:
+            return t
+        cols = []
+        for c in t.columns:
+            data = jnp.concatenate([c.data[n:], jnp.zeros(n, c.data.dtype)])
+            valid = jnp.concatenate([c.valid[n:], jnp.zeros(n, bool)])
+            cols.append(Column(c.dtype, data, valid, c.dictionary))
+        return Table(t.names, cols, t.nrows - n)
+
+    def _display_line(self):
+        return f"SkipExec: {self.n}"
+
+
+class UnionExec(ExecutionPlan):
+    def __init__(self, inputs: list[ExecutionPlan], schema: Schema):
+        super().__init__()
+        self.inputs = inputs
+        self._schema = schema
+
+    def schema(self):
+        return self._schema
+
+    def children(self):
+        return list(self.inputs)
+
+    def with_new_children(self, c):
+        return UnionExec(list(c), self._schema)
+
+    def _execute(self) -> Table:
+        tables = [i.execute() for i in self.inputs]
+        return concat_tables(tables, self._schema)
+
+    def _display_line(self):
+        return "UnionExec"
+
+
+def concat_tables(tables: list[Table], schema: Schema) -> Table:
+    """Concatenate live rows of several tables into one compacted table,
+    casting to the target schema and merging string dictionaries."""
+    total = sum(t.nrows for t in tables)
+    cap = round_capacity(total)
+    names = schema.names()
+    out_cols: list[Column] = []
+    for i, f in enumerate(schema.fields):
+        pieces = []
+        for t in tables:
+            pieces.append(cast_column(t.columns[i], f.dtype))
+        if f.dtype.is_string:
+            # merge all dictionaries at once, remap each piece once
+            val_arrays = [
+                p.dictionary.values.astype(str)
+                for p in pieces
+                if p.dictionary is not None and len(p.dictionary) > 0
+            ]
+            all_vals = (
+                np.unique(np.concatenate(val_arrays))
+                if val_arrays
+                else np.array([], dtype=str)
+            )
+            merged_dict = StringDict(all_vals.astype(object))
+            new_pieces = []
+            for p in pieces:
+                if p.dictionary is None or len(p.dictionary) == 0:
+                    new_pieces.append(Column(STRING, p.data, p.valid, merged_dict))
+                else:
+                    remap = np.searchsorted(
+                        all_vals, p.dictionary.values.astype(str)
+                    ).astype(np.int32)
+                    out = jnp.asarray(remap)[jnp.clip(p.data, 0, len(remap) - 1)]
+                    new_pieces.append(Column(STRING, out, p.valid, merged_dict))
+            pieces = new_pieces
+            dictionary = merged_dict
+        else:
+            dictionary = None
+        datas = []
+        valids = []
+        for t, p in zip(tables, pieces):
+            datas.append(p.data[: t.nrows])
+            valids.append(p.valid[: t.nrows])
+        pad = cap - total
+        storage = f.dtype.storage_np_dtype()
+        datas.append(jnp.zeros(pad, storage))
+        valids.append(jnp.zeros(pad, bool))
+        data = jnp.concatenate([d.astype(storage) for d in datas])
+        valid = jnp.concatenate(valids)
+        out_cols.append(Column(f.dtype, data, valid, dictionary))
+    return Table(names, out_cols, total)
+
+
+class EmptyExec(ExecutionPlan):
+    def __init__(self, schema: Schema, produce_one_row: bool = False):
+        super().__init__()
+        self._schema = schema
+        self.produce_one_row = produce_one_row
+
+    def schema(self):
+        return self._schema
+
+    def with_new_children(self, c):
+        return self
+
+    def _execute(self) -> Table:
+        t = Table.empty(self._schema)
+        if self.produce_one_row:
+            # one all-null row
+            return Table(t.names, t.columns, 1)
+        return t
+
+    def _display_line(self):
+        return f"EmptyExec: one_row={self.produce_one_row}"
+
+
+class ExplainExec(ExecutionPlan):
+    def __init__(self, schema: Schema, rows: list[tuple[str, str]]):
+        super().__init__()
+        self._schema = schema
+        self.rows = rows
+
+    def schema(self):
+        return self._schema
+
+    def with_new_children(self, c):
+        return self
+
+    def _execute(self) -> Table:
+        return Table.from_pydict(
+            {
+                "plan_type": [r[0] for r in self.rows],
+                "plan": [r[1] for r in self.rows],
+            }
+        )
+
+    def _display_line(self):
+        return "ExplainExec"

@@ -1,0 +1,294 @@
+"""HashJoinExec / CrossJoinExec equivalents.
+
+Reference: /root/reference/datafusion/src/physical_plan/hash_join.rs (2,203
+LoC; JoinHashMap keyed by u64 hash with probe-time collision check,
+build_join_indexes :649, build_batch_from_indices :564, visited bitmap for
+outer joins :407) and cross_join.rs:52.
+
+TPU-native design (SURVEY.md §7): no pointer-chasing hash table.  The build
+side is sorted by a 64-bit key hash (one XLA sort); probes binary-search the
+sorted hashes (vectorized `searchsorted`), candidate pairs are materialized
+by a cumsum/searchsorted run-expansion, and exact key equality (+ optional
+residual non-equi filter) prunes hash collisions — the vectorized analogue of
+`equal_rows` (hash_join.rs:813).  All six join types (Inner/Left/Right/Full/
+Semi/Anti, logical_plan/plan.rs:36-49) derive from the same candidate set:
+outer rows are appended from per-row match counts (probe side) and a
+scatter-or visited mask (build side).
+
+Output capacity is data-dependent: the candidate total is pulled to the host
+once per join (one sync) to size the static output buffer — the
+capacity-estimation strategy from SURVEY.md §7 'hard parts' (a).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..columnar.column import Column
+from ..columnar.table import Table, round_capacity
+from ..errors import InternalError
+from ..exprs.physical import PhysicalExpr, harmonize_strings
+from ..types import Field, Schema
+from . import kernels as K
+from .base import ExecutionPlan
+from .basic import concat_tables
+
+JOIN_TYPES = ("inner", "left", "right", "full", "semi", "anti")
+
+
+class HashJoinExec(ExecutionPlan):
+    """Equi-join.  Probe side = left input, build side = right input.
+
+    `on` pairs physical key exprs (left_expr, right_expr); `filter` is an
+    optional residual predicate planned against the combined schema."""
+
+    def __init__(
+        self,
+        left: ExecutionPlan,
+        right: ExecutionPlan,
+        on: list[tuple[PhysicalExpr, PhysicalExpr]],
+        join_type: str = "inner",
+        filter: PhysicalExpr | None = None,
+    ):
+        super().__init__()
+        if join_type not in JOIN_TYPES:
+            raise InternalError(f"bad join type {join_type}")
+        self.left = left
+        self.right = right
+        self.on = on
+        self.join_type = join_type
+        self.filter = filter
+
+    def schema(self) -> Schema:
+        if self.join_type in ("semi", "anti"):
+            return self.left.schema()
+        lf = self.left.schema().fields
+        rf = self.right.schema().fields
+        return Schema(list(lf) + list(rf))
+
+    def children(self):
+        return [self.left, self.right]
+
+    def with_new_children(self, c):
+        return HashJoinExec(c[0], c[1], self.on, self.join_type, self.filter)
+
+    # ------------------------------------------------------------------
+    def _execute(self) -> Table:
+        lt = self.left.execute()
+        rt = self.right.execute()
+        return join_tables(lt, rt, self.on, self.join_type, self.filter, self.metrics)
+
+    def _display_line(self):
+        on = ", ".join(f"{l!r}={r!r}" for l, r in self.on)
+        f = f" filter={self.filter!r}" if self.filter is not None else ""
+        return f"HashJoinExec[{self.join_type}]: on=[{on}]{f}"
+
+
+def join_tables(lt: Table, rt: Table, on, join_type: str, filter, metrics=None) -> Table:
+    lcap, rcap = lt.capacity, rt.capacity
+    nl, nr = np.int64(lt.nrows), np.int64(rt.nrows)
+
+    # ---- evaluate + harmonize keys -----------------------------------------
+    lkeys, rkeys = [], []
+    for le, re_ in on:
+        lc = le.evaluate(lt)
+        rc = re_.evaluate(rt)
+        if lc.dtype.is_string and rc.dtype.is_string:
+            lc, rc = harmonize_strings(lc, rc)
+        lkeys.append(lc)
+        rkeys.append(rc)
+
+    lord = [K.orderable_key(c.data, c.dtype) for c in lkeys]
+    rord = [K.orderable_key(c.data, c.dtype) for c in rkeys]
+    lval = [c.valid for c in lkeys]
+    rval = [c.valid for c in rkeys]
+
+    lhash = K.hash_columns(lord, lval)
+    rhash = K.hash_columns(rord, rval)
+
+    # ---- build (sort right) + probe counts ----------------------------------
+    sorted_hash, build_order = K.join_build_sort(rhash, nr)
+    l_alive = jnp.arange(lcap) < nl
+    probe_ok = l_alive
+    for v in lval:
+        probe_ok = probe_ok & v
+    lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
+
+    total = int(jnp.sum(counts))
+    out_cap = round_capacity(max(total, 1))
+    probe_idx, build_idx, pair_alive, _ = K.join_expand(lo, counts, build_order, out_cap)
+
+    ok = K.verify_equal(
+        tuple(lord), tuple(lval), tuple(rord), tuple(rval), probe_idx, build_idx, pair_alive
+    )
+
+    # ---- residual filter on candidate pairs ----------------------------------
+    if filter is not None:
+        pair_table = _gather_pair_table(lt, rt, probe_idx, build_idx, out_cap)
+        fres = filter.evaluate(pair_table)
+        ok = ok & fres.data.astype(bool) & fres.valid
+
+    if metrics is not None:
+        metrics.counter("join_candidates").add(total)
+
+    # ---- semi / anti ---------------------------------------------------------
+    if join_type in ("semi", "anti"):
+        match_per_probe = jnp.zeros(lcap, bool).at[probe_idx].max(ok, mode="drop")
+        keep = match_per_probe if join_type == "semi" else ~match_per_probe
+        return _filter_table(lt, keep)
+
+    # ---- inner core -----------------------------------------------------------
+    matched = _materialize_pairs(lt, rt, probe_idx, build_idx, ok, out_cap)
+
+    if join_type == "inner":
+        return matched
+
+    out_schema = Schema(
+        [Field(n, c.dtype, True) for n, c in zip(matched.names, matched.columns)]
+    )
+    parts = [matched]
+
+    if join_type in ("left", "full"):
+        match_per_probe = jnp.zeros(lcap, bool).at[probe_idx].max(ok, mode="drop")
+        unmatched = l_alive & ~match_per_probe
+        left_rest = _filter_table(lt, unmatched)
+        parts.append(_pad_right_nulls(left_rest, rt))
+    if join_type in ("right", "full"):
+        visited = jnp.zeros(rcap, bool).at[build_idx].max(ok, mode="drop")
+        r_alive = jnp.arange(rcap) < nr
+        unmatched_r = r_alive & ~visited
+        right_rest = _filter_table(rt, unmatched_r)
+        parts.append(_pad_left_nulls(lt, right_rest))
+
+    return concat_tables(parts, out_schema)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _gather_pair_table(lt: Table, rt: Table, probe_idx, build_idx, out_cap) -> Table:
+    cols = []
+    names = []
+    for n, c in zip(lt.names, lt.columns):
+        cols.append(Column(c.dtype, c.data[probe_idx], c.valid[probe_idx], c.dictionary))
+        names.append(n)
+    for n, c in zip(rt.names, rt.columns):
+        cols.append(Column(c.dtype, c.data[build_idx], c.valid[build_idx], c.dictionary))
+        names.append(n)
+    return Table(names, cols, out_cap)
+
+
+def _materialize_pairs(lt: Table, rt: Table, probe_idx, build_idx, ok, out_cap) -> Table:
+    """Compact verified pairs and gather both sides."""
+    pos = jnp.cumsum(ok) - 1
+    target = jnp.where(ok, pos, out_cap)
+    cnt = int(jnp.sum(ok))
+    cols = []
+    names = []
+    for n, c in zip(lt.names, lt.columns):
+        g = c.data[probe_idx]
+        gv = c.valid[probe_idx]
+        d = jnp.zeros(out_cap, c.data.dtype).at[target].set(g, mode="drop")
+        v = jnp.zeros(out_cap, bool).at[target].set(gv & ok, mode="drop")
+        cols.append(Column(c.dtype, d, v, c.dictionary))
+        names.append(n)
+    for n, c in zip(rt.names, rt.columns):
+        g = c.data[build_idx]
+        gv = c.valid[build_idx]
+        d = jnp.zeros(out_cap, c.data.dtype).at[target].set(g, mode="drop")
+        v = jnp.zeros(out_cap, bool).at[target].set(gv & ok, mode="drop")
+        cols.append(Column(c.dtype, d, v, c.dictionary))
+        names.append(n)
+    return Table(names, cols, cnt)
+
+
+def _filter_table(t: Table, keep) -> Table:
+    datas = tuple(c.data for c in t.columns)
+    valids = tuple(c.valid for c in t.columns)
+    d2, v2, cnt = K.filter_compact(datas, valids, keep, np.int64(t.nrows))
+    cols = [Column(c.dtype, d, v, c.dictionary) for c, d, v in zip(t.columns, d2, v2)]
+    return Table(t.names, cols, int(cnt))
+
+
+def _pad_right_nulls(left_part: Table, rt: Table) -> Table:
+    cap = left_part.capacity
+    cols = list(left_part.columns)
+    names = list(left_part.names)
+    for n, c in zip(rt.names, rt.columns):
+        cols.append(
+            Column(
+                c.dtype,
+                jnp.zeros(cap, c.data.dtype),
+                jnp.zeros(cap, bool),
+                c.dictionary,
+            )
+        )
+        names.append(n)
+    return Table(names, cols, left_part.nrows)
+
+
+def _pad_left_nulls(lt: Table, right_part: Table) -> Table:
+    cap = right_part.capacity
+    cols = []
+    names = []
+    for n, c in zip(lt.names, lt.columns):
+        cols.append(
+            Column(
+                c.dtype,
+                jnp.zeros(cap, c.data.dtype),
+                jnp.zeros(cap, bool),
+                c.dictionary,
+            )
+        )
+        names.append(n)
+    cols += list(right_part.columns)
+    names += list(right_part.names)
+    return Table(names, cols, right_part.nrows)
+
+
+# ---------------------------------------------------------------------------
+
+
+class CrossJoinExec(ExecutionPlan):
+    """Cartesian product (cross_join.rs:52): pure index arithmetic."""
+
+    def __init__(self, left: ExecutionPlan, right: ExecutionPlan):
+        super().__init__()
+        self.left = left
+        self.right = right
+
+    def schema(self) -> Schema:
+        return Schema(list(self.left.schema().fields) + list(self.right.schema().fields))
+
+    def children(self):
+        return [self.left, self.right]
+
+    def with_new_children(self, c):
+        return CrossJoinExec(c[0], c[1])
+
+    def _execute(self) -> Table:
+        lt = self.left.execute()
+        rt = self.right.execute()
+        return cross_join_tables(lt, rt)
+
+    def _display_line(self):
+        return "CrossJoinExec"
+
+
+def cross_join_tables(lt: Table, rt: Table) -> Table:
+    total = lt.nrows * rt.nrows
+    out_cap = round_capacity(max(total, 1))
+    r = jnp.arange(out_cap)
+    nr = max(rt.nrows, 1)
+    li = jnp.minimum(r // nr, max(lt.capacity - 1, 0))
+    ri = jnp.minimum(r % nr, max(rt.capacity - 1, 0))
+    alive = r < total
+    cols, names = [], []
+    for n, c in zip(lt.names, lt.columns):
+        cols.append(Column(c.dtype, c.data[li], c.valid[li] & alive, c.dictionary))
+        names.append(n)
+    for n, c in zip(rt.names, rt.columns):
+        cols.append(Column(c.dtype, c.data[ri], c.valid[ri] & alive, c.dictionary))
+        names.append(n)
+    return Table(names, cols, total)

@@ -1,0 +1,276 @@
+"""Core jitted columnar primitives.
+
+These are the TPU-native replacements for the reference's per-row hot loops
+(SURVEY.md §7 design translations):
+
+- reference `arrow::compute::filter` per batch
+  (/root/reference/datafusion/src/physical_plan/filter.rs)     -> `filter_compact`
+  (cumsum-scatter compaction: O(n), no data-dependent shapes)
+- reference `lexsort_to_indices` + `take`
+  (/root/reference/datafusion/src/physical_plan/sort.rs:201)   -> `lexsort_perm` + `take`
+  (iterated stable XLA sorts over order-isomorphic int64 keys)
+- reference hashbrown group map row loop
+  (/root/reference/datafusion/src/physical_plan/hash_aggregate.rs:409)
+                                                               -> sort + `group_ids_sorted`
+  + `segment_*` reductions (vectorized, deterministic order)
+- reference `JoinHashMap` build/probe
+  (/root/reference/datafusion/src/physical_plan/hash_join.rs:649)
+                                                               -> `hash_columns` + sorted-hash
+  binary search (`searchsorted`) + vectorized candidate expansion
+  with exact key verification (mirrors `equal_rows`, hash_join.rs:813)
+
+Everything operates on padded 1-D buffers of static capacity with a traced
+live-row count, so varying data sizes reuse compiled programs.
+
+All functions take/return plain jnp arrays (tuples thereof) — the operator
+layer (ops/*.py) wraps them with Table/Column bookkeeping.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types.dtypes import DataType
+
+# ---------------------------------------------------------------------------
+# key encoding
+# ---------------------------------------------------------------------------
+
+
+def orderable_key(data: jnp.ndarray, dtype: DataType) -> jnp.ndarray:
+    """Map a column's storage buffer to int64 keys whose ascending order
+    equals the column's SQL ordering.  Floats use the IEEE-754 total-order
+    transform (mirrors the fork's OrdF64, cube_ext/ordfloat.rs); strings are
+    already order-isomorphic dictionary codes (sorted dictionaries)."""
+    if dtype.is_float:
+        bits = jax.lax.bitcast_convert_type(
+            data.astype(jnp.float64), jnp.int64
+        )
+        # negative floats: flip all non-sign bits to reverse their order
+        flipped = jnp.where(bits < 0, jnp.bitwise_not(bits) | jnp.int64(-(2**63)), bits)
+        return flipped
+    if dtype.is_bool:
+        return data.astype(jnp.int64)
+    return data.astype(jnp.int64)
+
+
+# ---------------------------------------------------------------------------
+# hashing (splitmix64-style avalanche, vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _mix64(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.uint64)
+    x = (x ^ (x >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> 31)
+
+
+def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndarray:
+    """Combine N int64 key columns into one uint64 hash per row.
+
+    Replaces the reference's vectorized `create_hashes`
+    (/root/reference/datafusion/src/physical_plan/hash_join.rs:983).
+    Null keys hash as a distinct constant; exactness is guaranteed by key
+    verification after probe, not by the hash."""
+    h = jnp.full(keys[0].shape, 0x9E3779B97F4A7C15, dtype=jnp.uint64)
+    for k, v in zip(keys, valids):
+        kk = jnp.where(v, k, jnp.int64(-0x61C8864680B583EB)).astype(jnp.uint64)
+        h = _mix64(h ^ (kk + jnp.uint64(0x9E3779B97F4A7C15) + (h << 6) + (h >> 2)))
+    return h
+
+
+# ---------------------------------------------------------------------------
+# compaction (filter)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.ndarray):
+    """Scatter rows where ``keep`` holds to the front of fresh buffers.
+
+    Returns (datas, valids, count).  Dead rows (index >= nrows) never kept."""
+    cap = keep.shape[0]
+    alive = jnp.arange(cap) < nrows
+    keep = keep & alive
+    pos = jnp.cumsum(keep) - 1
+    target = jnp.where(keep, pos, cap)  # cap is out of range -> dropped
+    out_d = tuple(
+        jnp.zeros_like(d).at[target].set(d, mode="drop") for d in datas
+    )
+    out_v = tuple(
+        jnp.zeros_like(v).at[target].set(v & keep, mode="drop") for v in valids
+    )
+    return out_d, out_v, jnp.sum(keep)
+
+
+# ---------------------------------------------------------------------------
+# sorting
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("descs", "nulls_firsts"))
+def lexsort_perm(
+    ordkeys: tuple,
+    key_valids: tuple,
+    nrows: jnp.ndarray,
+    descs: tuple,
+    nulls_firsts: tuple,
+) -> jnp.ndarray:
+    """Permutation sorting rows by (k1, k2, ...) with per-key direction and
+    null placement; dead rows go last; stable.
+
+    Implemented as iterated stable sorts from least- to most-significant key
+    — each refinement preserves the previous order within equal keys, the
+    classic LSD approach, entirely via XLA's stable sort (TPU-friendly:
+    no scalar loops)."""
+    cap = ordkeys[0].shape[0]
+    idx = jnp.arange(cap)
+    for k, v, desc, nf in reversed(
+        list(zip(ordkeys, key_valids, descs, nulls_firsts))
+    ):
+        kk = k[idx]
+        vv = v[idx]
+        if desc:
+            kk = jnp.bitwise_not(kk)  # ~k is strictly order-reversing, no overflow
+        order = jnp.argsort(kk, stable=True)
+        idx = idx[order]
+        # nulls to front/back (stable)
+        vv = v[idx]
+        nullrank = jnp.where(vv, 1, 0 if nf else 2)
+        order = jnp.argsort(nullrank, stable=True)
+        idx = idx[order]
+    # dead rows last (stable)
+    alive = idx < nrows
+    order = jnp.argsort(~alive, stable=True)
+    return idx[order]
+
+
+@jax.jit
+def take(datas: tuple, valids: tuple, idx: jnp.ndarray):
+    """Gather rows by index (the reference's arrow `take` kernel)."""
+    return tuple(d[idx] for d in datas), tuple(v[idx] for v in valids)
+
+
+# ---------------------------------------------------------------------------
+# grouping
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def group_ids_sorted(
+    sorted_keys: tuple, sorted_valids: tuple, nrows: jnp.ndarray
+):
+    """Given key columns already sorted by `lexsort_perm`, return
+    (gid per row, ngroups).  A group boundary is any change in (key, valid)
+    on any key column.  Dead rows get gid == cap-1's tail groups but are
+    excluded by callers via ngroups."""
+    cap = sorted_keys[0].shape[0]
+    alive = jnp.arange(cap) < nrows
+    boundary = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for k, v in zip(sorted_keys, sorted_valids):
+        prev_k = jnp.roll(k, 1)
+        prev_v = jnp.roll(v, 1)
+        change = (k != prev_k) | (v != prev_v)
+        boundary = boundary | change
+    boundary = boundary.at[0].set(True)
+    boundary = boundary & alive
+    gid = jnp.cumsum(boundary) - 1
+    ngroups = jnp.where(nrows > 0, gid[jnp.maximum(nrows - 1, 0)] + 1, 0)
+    gid = jnp.where(alive, gid, cap - 1)
+    return gid, ngroups
+
+
+def segment_sum(values, gid, num_segments):
+    return jax.ops.segment_sum(values, gid, num_segments=num_segments)
+
+
+def segment_min(values, gid, num_segments):
+    return jax.ops.segment_min(values, gid, num_segments=num_segments)
+
+
+def segment_max(values, gid, num_segments):
+    return jax.ops.segment_max(values, gid, num_segments=num_segments)
+
+
+# ---------------------------------------------------------------------------
+# join candidate generation (sorted-hash probe)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def join_build_sort(build_hash: jnp.ndarray, nrows_build: jnp.ndarray):
+    """Sort build side by hash; dead rows pinned to +inf so they sit at the
+    end of the sorted array.  Returns (sorted_hash, order)."""
+    cap = build_hash.shape[0]
+    alive = jnp.arange(cap) < nrows_build
+    h = jnp.where(alive, build_hash, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    order = jnp.argsort(h, stable=True)
+    return h[order], order
+
+
+@jax.jit
+def join_probe_counts(
+    sorted_hash: jnp.ndarray,
+    probe_hash: jnp.ndarray,
+    probe_alive_valid: jnp.ndarray,
+    nrows_build: jnp.ndarray,
+):
+    """Per-probe candidate ranges [lo, hi) in the sorted build hashes.
+
+    Probe rows that are dead or have null keys get empty ranges."""
+    lo = jnp.searchsorted(sorted_hash, probe_hash, side="left")
+    hi = jnp.searchsorted(sorted_hash, probe_hash, side="right")
+    hi = jnp.minimum(hi, nrows_build)
+    lo = jnp.minimum(lo, hi)
+    counts = jnp.where(probe_alive_valid, hi - lo, 0)
+    lo = jnp.where(probe_alive_valid, lo, 0)
+    return lo, counts
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def join_expand(
+    lo: jnp.ndarray,
+    counts: jnp.ndarray,
+    build_order: jnp.ndarray,
+    out_cap: int,
+):
+    """Materialize candidate pairs: output slot r -> (probe_idx, build_idx).
+
+    Vectorized run expansion via cumsum + searchsorted (no loops):
+      starts = exclusive cumsum(counts);  probe(r) = # starts <= r  - 1.
+    Slots >= total are dead (alive=False)."""
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    starts = cum - counts
+    r = jnp.arange(out_cap)
+    probe_idx = jnp.searchsorted(cum, r, side="right")
+    probe_idx = jnp.minimum(probe_idx, lo.shape[0] - 1)
+    offset_in_run = r - starts[probe_idx]
+    build_pos = lo[probe_idx] + offset_in_run
+    build_pos = jnp.clip(build_pos, 0, build_order.shape[0] - 1)
+    build_idx = build_order[build_pos]
+    alive = r < total
+    return probe_idx, build_idx, alive, total
+
+
+@jax.jit
+def verify_equal(
+    probe_keys: tuple,
+    probe_valids: tuple,
+    build_keys: tuple,
+    build_valids: tuple,
+    probe_idx: jnp.ndarray,
+    build_idx: jnp.ndarray,
+    alive: jnp.ndarray,
+):
+    """Exact key-equality check on candidate pairs (mirrors `equal_rows`,
+    hash_join.rs:813): both sides non-null and equal on every key column."""
+    ok = alive
+    for pk, pv, bk, bv in zip(probe_keys, probe_valids, build_keys, build_valids):
+        ok = ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
+    return ok
