@@ -1,0 +1,179 @@
+"""TPC-H harness: run queries 1-22 on the engine, verify vs sqlite golden
+answers, and time them.
+
+Mirrors the reference's tpch binary (/root/reference/benchmarks/src/bin/
+tpch.rs: benchmark_datafusion :205, verify_query :1008).
+
+Usage:
+  python -m bench.tpch --check [--sf 0.01] [--queries 1,6]   # verify
+  python -m bench.tpch --bench [--sf 1] [--queries 1]        # time
+  (add JAX_PLATFORMS config: runs on whatever backend jax selects)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def get_query_sql(q: int) -> str:
+    with open(f"/root/reference/benchmarks/queries/q{q}.sql") as f:
+        return f.read()
+
+
+# queries whose ORDER BY fully determines row order (compare ordered);
+# everything else compares as sorted multisets
+FULLY_ORDERED = {1, 3, 5, 6, 12, 14, 17, 19}
+
+
+def load_engine_tables(ctx, data):
+    from datafusion_tpu.columnar.table import Table
+    from datafusion_tpu.types.dtypes import DATE32, decimal
+
+    from .tpch_datagen import DATE_COLUMNS, DECIMAL_COLUMNS
+
+    for tname, cols in data.items():
+        dtypes = {}
+        for n in cols:
+            if n in DATE_COLUMNS:
+                dtypes[n] = DATE32
+            elif n in DECIMAL_COLUMNS:
+                dtypes[n] = decimal(15, 2)
+        t = Table.from_pydict(cols, dtypes=dtypes)
+        ctx.register_table(tname, t)
+
+
+def run_query(ctx, q: int):
+    """Execute query q (handles q15's 3-statement form). Returns Table."""
+    from datafusion_tpu.sql.parser import parse_sql
+
+    sql = get_query_sql(q)
+    stmts = sql.split(";")
+    stmts = [s for s in stmts if s.strip()]
+    result = None
+    for s in stmts:
+        low = s.lower()
+        if "create view" in low or "drop view" in low:
+            ctx.sql(s)
+        else:
+            result = ctx.sql(s).collect()
+    return result
+
+
+# sqlite can't parse derived-table column aliases `as t (c1, c2)` (q13)
+SQLITE_OVERRIDES = {
+    13: """
+select c_count, count(*) as custdist
+from (
+    select c_custkey as c_custkey, count(o_orderkey) as c_count
+    from customer left outer join orders on
+        c_custkey = o_custkey and o_comment not like '%special%requests%'
+    group by c_custkey
+) as c_orders
+group by c_count
+order by custdist desc, c_count desc
+""",
+}
+
+
+def golden_query(conn, q: int):
+    from .golden import run_golden, to_sqlite_sql
+
+    if q in SQLITE_OVERRIDES:
+        return run_golden(conn, SQLITE_OVERRIDES[q])
+    sql = get_query_sql(q)
+    stmts = [s for s in sql.split(";") if s.strip()]
+    rows = None
+    for s in stmts:
+        low = s.lower()
+        if "create view" in low:
+            conn.execute(to_sqlite_sql(s))
+        elif "drop view" in low:
+            conn.execute(to_sqlite_sql(s))
+        else:
+            rows = run_golden(conn, s)
+    return rows
+
+
+def check(sf: float, queries: list[int], verbose: bool = True) -> dict:
+    import jax
+
+    from datafusion_tpu import ExecutionContext
+
+    from .golden import compare_results, load_sqlite, table_to_rows
+    from .tpch_datagen import generate_tpch
+
+    data = generate_tpch(sf)
+    ctx = ExecutionContext()
+    load_engine_tables(ctx, data)
+    conn = load_sqlite(data)
+
+    results = {}
+    for q in queries:
+        try:
+            t = run_query(ctx, q)
+            engine_rows = table_to_rows(t)
+            golden_rows = golden_query(conn, q)
+            err = compare_results(
+                engine_rows, golden_rows, ordered=(q in FULLY_ORDERED)
+            )
+            results[q] = err
+            if verbose:
+                status = "OK " if err is None else "FAIL"
+                print(f"q{q:<3} {status} ({len(engine_rows)} rows)"
+                      + (f"  {err}" if err else ""))
+        except Exception as e:
+            results[q] = f"{type(e).__name__}: {e}"
+            if verbose:
+                print(f"q{q:<3} ERROR {type(e).__name__}: {str(e)[:200]}")
+    return results
+
+
+def bench(sf: float, queries: list[int], iterations: int = 3) -> dict:
+    from datafusion_tpu import ExecutionContext
+
+    from .tpch_datagen import generate_tpch
+
+    data = generate_tpch(sf)
+    ctx = ExecutionContext()
+    load_engine_tables(ctx, data)
+    timings = {}
+    for q in queries:
+        times = []
+        for i in range(iterations):
+            t0 = time.perf_counter()
+            t = run_query(ctx, q)
+            times.append(time.perf_counter() - t0)
+        timings[q] = times
+        print(f"q{q}: " + ", ".join(f"{x*1000:.1f}ms" for x in times))
+    return timings
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--sf", type=float, default=0.01)
+    ap.add_argument("--queries", type=str, default=",".join(map(str, range(1, 23))))
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    queries = [int(x) for x in args.queries.split(",")]
+    if args.check:
+        results = check(args.sf, queries)
+        bad = {q: e for q, e in results.items() if e is not None}
+        print(f"\n{len(queries) - len(bad)}/{len(queries)} queries match golden answers")
+        sys.exit(1 if bad else 0)
+    if args.bench:
+        bench(args.sf, queries, args.iterations)
+
+
+if __name__ == "__main__":
+    main()

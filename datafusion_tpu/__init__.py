@@ -24,12 +24,29 @@ Layer map mirrors the reference (SURVEY.md §1):
   L8 front ends/tooling     -> datafusion_tpu.cli, bench/
 """
 
+import os as _os
+
 import jax as _jax
 
 # The engine requires 64-bit ints/floats for SQL semantics (BIGINT, DOUBLE,
 # DECIMAL-as-int64).  TPU MXU work stays in 32/16-bit; columnar transforms are
 # memory-bound elementwise/segment ops where x64 emulation is acceptable.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: kernel variants are keyed on
+# (dtype, capacity-bucket), so repeated queries and repeated sessions reuse
+# compiled programs instead of re-invoking XLA.
+# (opt-in via env: XLA:CPU AOT cache entries are machine-feature-pinned and
+# noisy to reload, so this is off unless explicitly requested)
+_cache_dir = _os.environ.get("DATAFUSION_TPU_JAX_CACHE")
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
 
 from .errors import DataFusionError  # noqa: E402
 

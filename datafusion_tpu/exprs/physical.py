@@ -289,6 +289,15 @@ class PhysBinary(PhysicalExpr):
         if op in ("and", "or"):
             return _kleene(l, r, op)
 
+        # an untyped NULL operand makes the whole result NULL
+        if l.dtype == NULLTYPE or r.dtype == NULLTYPE:
+            cap = l.data.shape[0]
+            return CVec(
+                self.dtype,
+                jnp.zeros(cap, self.dtype.storage_np_dtype()),
+                jnp.zeros(cap, bool),
+            )
+
         # string comparisons via dictionary codes
         if l.dtype.is_string and r.dtype.is_string:
             if op in ("like", "not like"):
@@ -298,6 +307,22 @@ class PhysBinary(PhysicalExpr):
 
         if op in ("like", "not like"):
             raise PlanError("LIKE requires string operands")
+
+        # implicit string -> temporal/numeric coercion (type_coercion.rs)
+        if l.dtype.is_string and (r.dtype.is_temporal or r.dtype.is_numeric):
+            l = cast_column(l, r.dtype)
+        elif r.dtype.is_string and (l.dtype.is_temporal or l.dtype.is_numeric):
+            r = cast_column(r, l.dtype)
+        if (
+            l.dtype.is_temporal
+            and r.dtype.is_temporal
+            and l.dtype != r.dtype
+            and op in ("=", "!=", "<", "<=", ">", ">=")
+        ):
+            if l.dtype == DATE32:
+                l = cast_column(l, r.dtype)
+            elif r.dtype == DATE32:
+                r = cast_column(r, l.dtype)
 
         # temporal arithmetic
         t = _temporal_arith(l, r, op)

@@ -289,7 +289,10 @@ class BinaryExpr(Expr):
         return self.left.nullable(schema) or self.right.nullable(schema)
 
     def __repr__(self):
-        return f"{self.left!r} {self.op.upper()} {self.right!r}"
+        def side(e):
+            return f"({e!r})" if isinstance(e, BinaryExpr) else repr(e)
+
+        return f"{side(self.left)} {self.op.upper()} {side(self.right)}"
 
 
 @dataclass(eq=False, repr=False)
@@ -543,6 +546,8 @@ class AggregateFunction(Expr):
 
     def __repr__(self):
         d = "DISTINCT " if self.distinct else ""
+        if self.fun == "count" and not self.args:
+            return "COUNT(*)"
         return f"{self.fun.upper()}({d}{', '.join(repr(a) for a in self.args)})"
 
 
@@ -657,6 +662,29 @@ class SortExpr(Expr):
         d = "ASC" if self.ascending else "DESC"
         n = "NULLS FIRST" if self.nulls_first else "NULLS LAST"
         return f"{self.expr!r} {d} {n}"
+
+
+@dataclass(eq=False, repr=False)
+class OuterColumn(Expr):
+    """A correlated reference to a column of an OUTER query, recorded by the
+    SQL planner when a subquery expression resolves a name against an
+    enclosing scope; consumed by the decorrelation optimizer rule."""
+
+    name: str
+    relation: Optional[str] = None
+    dtype: Optional[DataType] = None
+
+    def get_type(self, schema):
+        if self.dtype is None:
+            raise PlanError(f"unresolved outer reference {self!r}")
+        return self.dtype
+
+    def nullable(self, schema):
+        return True
+
+    def __repr__(self):
+        q = f"{self.relation}." if self.relation else ""
+        return f"outer({q}{self.name})"
 
 
 # ---- subquery expressions (this engine supports + decorrelates them) -------

@@ -367,9 +367,8 @@ def _distinct_mask(v, perm, gid, data, valid, cap):
     grouping itself (the reference uses per-group HashSets,
     distinct_expressions.rs)."""
     ordv = K.orderable_key(data, v.dtype)
-    order = jnp.argsort(
-        jnp.where(valid, ordv, jnp.iinfo(jnp.int64).max), stable=True
-    )
+    sentinel = jnp.inf if jnp.issubdtype(ordv.dtype, jnp.floating) else jnp.iinfo(jnp.int64).max
+    order = jnp.argsort(jnp.where(valid, ordv, sentinel), stable=True)
     order = order[jnp.argsort(gid[order], stable=True)]
     g2 = gid[order]
     d2 = ordv[order]

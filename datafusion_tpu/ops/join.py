@@ -104,8 +104,8 @@ def join_tables(lt: Table, rt: Table, on, join_type: str, filter, metrics=None) 
     lval = [c.valid for c in lkeys]
     rval = [c.valid for c in rkeys]
 
-    lhash = K.hash_columns(lord, lval)
-    rhash = K.hash_columns(rord, rval)
+    lhash = K.hash_columns([K.hashable_key(c.data, c.dtype) for c in lkeys], lval)
+    rhash = K.hash_columns([K.hashable_key(c.data, c.dtype) for c in rkeys], rval)
 
     # ---- build (sort right) + probe counts ----------------------------------
     sorted_hash, build_order = K.join_build_sort(rhash, nr)

@@ -42,17 +42,26 @@ from ..types.dtypes import DataType
 
 
 def orderable_key(data: jnp.ndarray, dtype: DataType) -> jnp.ndarray:
-    """Map a column's storage buffer to int64 keys whose ascending order
-    equals the column's SQL ordering.  Floats use the IEEE-754 total-order
-    transform (mirrors the fork's OrdF64, cube_ext/ordfloat.rs); strings are
-    already order-isomorphic dictionary codes (sorted dictionaries)."""
+    """Map a column's storage buffer to keys whose ascending order equals the
+    column's SQL ordering: int64 for integral/dictionary types (strings are
+    order-isomorphic codes since dictionaries are sorted), the raw float64
+    values for floats (XLA's sort handles float total order directly; the
+    int64 bitcast total-order transform is NOT lowerable on TPU under x64
+    emulation)."""
     if dtype.is_float:
-        bits = jax.lax.bitcast_convert_type(
-            data.astype(jnp.float64), jnp.int64
+        return data.astype(jnp.float64)
+    return data.astype(jnp.int64)
+
+
+def hashable_key(data: jnp.ndarray, dtype: DataType) -> jnp.ndarray:
+    """int64 key for hashing: floats go through a float32 bitcast (32-bit
+    bitcasts lower fine on TPU); equal float64s map to equal int64s, which is
+    all hashing needs — exactness comes from post-probe verification."""
+    if dtype.is_float:
+        bits32 = jax.lax.bitcast_convert_type(
+            data.astype(jnp.float32), jnp.int32
         )
-        # negative floats: flip all non-sign bits to reverse their order
-        flipped = jnp.where(bits < 0, jnp.bitwise_not(bits) | jnp.int64(-(2**63)), bits)
-        return flipped
+        return bits32.astype(jnp.int64)
     if dtype.is_bool:
         return data.astype(jnp.int64)
     return data.astype(jnp.int64)
@@ -70,6 +79,17 @@ def _mix64(x: jnp.ndarray) -> jnp.ndarray:
     return x ^ (x >> 31)
 
 
+@jax.jit
+def _hash_init(shape_like: jnp.ndarray) -> jnp.ndarray:
+    return jnp.full(shape_like.shape, 0x9E3779B97F4A7C15, dtype=jnp.uint64)
+
+
+@jax.jit
+def _hash_accum(h: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    kk = jnp.where(v, k, jnp.int64(-0x61C8864680B583EB)).astype(jnp.uint64)
+    return _mix64(h ^ (kk + jnp.uint64(0x9E3779B97F4A7C15) + (h << 6) + (h >> 2)))
+
+
 def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndarray:
     """Combine N int64 key columns into one uint64 hash per row.
 
@@ -77,10 +97,9 @@ def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndar
     (/root/reference/datafusion/src/physical_plan/hash_join.rs:983).
     Null keys hash as a distinct constant; exactness is guaranteed by key
     verification after probe, not by the hash."""
-    h = jnp.full(keys[0].shape, 0x9E3779B97F4A7C15, dtype=jnp.uint64)
+    h = _hash_init(keys[0])
     for k, v in zip(keys, valids):
-        kk = jnp.where(v, k, jnp.int64(-0x61C8864680B583EB)).astype(jnp.uint64)
-        h = _mix64(h ^ (kk + jnp.uint64(0x9E3779B97F4A7C15) + (h << 6) + (h >> 2)))
+        h = _hash_accum(h, k, v)
     return h
 
 
@@ -90,22 +109,36 @@ def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndar
 
 
 @jax.jit
-def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.ndarray):
-    """Scatter rows where ``keep`` holds to the front of fresh buffers.
-
-    Returns (datas, valids, count).  Dead rows (index >= nrows) never kept."""
+def _compact_target(keep: jnp.ndarray, nrows: jnp.ndarray):
+    """Scatter destinations for kept rows (cap = dropped)."""
     cap = keep.shape[0]
     alive = jnp.arange(cap) < nrows
     keep = keep & alive
     pos = jnp.cumsum(keep) - 1
-    target = jnp.where(keep, pos, cap)  # cap is out of range -> dropped
-    out_d = tuple(
-        jnp.zeros_like(d).at[target].set(d, mode="drop") for d in datas
-    )
-    out_v = tuple(
-        jnp.zeros_like(v).at[target].set(v & keep, mode="drop") for v in valids
-    )
-    return out_d, out_v, jnp.sum(keep)
+    target = jnp.where(keep, pos, cap)
+    return target, keep, jnp.sum(keep)
+
+
+@jax.jit
+def _scatter_compact(data: jnp.ndarray, target: jnp.ndarray):
+    return jnp.zeros_like(data).at[target].set(data, mode="drop")
+
+
+@jax.jit
+def _scatter_compact_valid(valid: jnp.ndarray, keep: jnp.ndarray, target: jnp.ndarray):
+    return jnp.zeros_like(valid).at[target].set(valid & keep, mode="drop")
+
+
+def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.ndarray):
+    """Scatter rows where ``keep`` holds to the front of fresh buffers.
+
+    Returns (datas, valids, count).  Dead rows (index >= nrows) never kept.
+    Compiled per (dtype, capacity) — one shared `target` computation plus a
+    per-column scatter, so adding columns never triggers new compiles."""
+    target, keep2, cnt = _compact_target(keep, nrows)
+    out_d = tuple(_scatter_compact(d, target) for d in datas)
+    out_v = tuple(_scatter_compact_valid(v, keep2, target) for v in valids)
+    return out_d, out_v, cnt
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +146,36 @@ def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.nd
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("descs", "nulls_firsts"))
+@partial(jax.jit, static_argnames=("desc", "nulls_first"))
+def _refine_by_key(
+    idx: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    desc: bool,
+    nulls_first: bool,
+) -> jnp.ndarray:
+    """One stable refinement of permutation `idx` by a more-significant key."""
+    kk = k[idx]
+    if desc:
+        if jnp.issubdtype(kk.dtype, jnp.floating):
+            kk = -kk
+        else:
+            kk = jnp.bitwise_not(kk)  # strictly order-reversing, no overflow
+    order = jnp.argsort(kk, stable=True)
+    idx = idx[order]
+    vv = v[idx]
+    nullrank = jnp.where(vv, 1, 0 if nulls_first else 2)
+    order = jnp.argsort(nullrank, stable=True)
+    return idx[order]
+
+
+@jax.jit
+def _alive_first(idx: jnp.ndarray, nrows: jnp.ndarray) -> jnp.ndarray:
+    alive = idx < nrows
+    order = jnp.argsort(~alive, stable=True)
+    return idx[order]
+
+
 def lexsort_perm(
     ordkeys: tuple,
     key_valids: tuple,
@@ -124,36 +186,31 @@ def lexsort_perm(
     """Permutation sorting rows by (k1, k2, ...) with per-key direction and
     null placement; dead rows go last; stable.
 
-    Implemented as iterated stable sorts from least- to most-significant key
-    — each refinement preserves the previous order within equal keys, the
-    classic LSD approach, entirely via XLA's stable sort (TPU-friendly:
-    no scalar loops)."""
+    Iterated stable sorts from least- to most-significant key — each
+    refinement preserves the previous order within equal keys (classic LSD),
+    entirely via XLA's stable sort: no scalar loops, and compiles key on
+    (dtype, capacity, desc, nulls_first) per refinement step rather than on
+    whole key-tuple signatures."""
     cap = ordkeys[0].shape[0]
     idx = jnp.arange(cap)
     for k, v, desc, nf in reversed(
         list(zip(ordkeys, key_valids, descs, nulls_firsts))
     ):
-        kk = k[idx]
-        vv = v[idx]
-        if desc:
-            kk = jnp.bitwise_not(kk)  # ~k is strictly order-reversing, no overflow
-        order = jnp.argsort(kk, stable=True)
-        idx = idx[order]
-        # nulls to front/back (stable)
-        vv = v[idx]
-        nullrank = jnp.where(vv, 1, 0 if nf else 2)
-        order = jnp.argsort(nullrank, stable=True)
-        idx = idx[order]
-    # dead rows last (stable)
-    alive = idx < nrows
-    order = jnp.argsort(~alive, stable=True)
-    return idx[order]
+        idx = _refine_by_key(idx, k, v, desc, nf)
+    return _alive_first(idx, nrows)
 
 
 @jax.jit
+def _gather(data: jnp.ndarray, idx: jnp.ndarray):
+    return data[idx]
+
+
 def take(datas: tuple, valids: tuple, idx: jnp.ndarray):
-    """Gather rows by index (the reference's arrow `take` kernel)."""
-    return tuple(d[idx] for d in datas), tuple(v[idx] for v in valids)
+    """Gather rows by index (the reference's arrow `take` kernel);
+    per-column jit so compiles key on (dtype, capacity) only."""
+    return tuple(_gather(d, idx) for d in datas), tuple(
+        _gather(v, idx) for v in valids
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -162,27 +219,33 @@ def take(datas: tuple, valids: tuple, idx: jnp.ndarray):
 
 
 @jax.jit
+def _boundary_accum(boundary: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    return boundary | (k != jnp.roll(k, 1)) | (v != jnp.roll(v, 1))
+
+
+@jax.jit
+def _gid_from_boundary(boundary: jnp.ndarray, nrows: jnp.ndarray):
+    cap = boundary.shape[0]
+    alive = jnp.arange(cap) < nrows
+    boundary = boundary.at[0].set(True) & alive
+    gid = jnp.cumsum(boundary) - 1
+    ngroups = jnp.where(nrows > 0, gid[jnp.maximum(nrows - 1, 0)] + 1, 0)
+    gid = jnp.where(alive, gid, cap - 1)
+    return gid, ngroups
+
+
 def group_ids_sorted(
     sorted_keys: tuple, sorted_valids: tuple, nrows: jnp.ndarray
 ):
     """Given key columns already sorted by `lexsort_perm`, return
     (gid per row, ngroups).  A group boundary is any change in (key, valid)
-    on any key column.  Dead rows get gid == cap-1's tail groups but are
-    excluded by callers via ngroups."""
+    on any key column.  Dead rows get gid == cap-1 and are excluded by
+    callers via ngroups."""
     cap = sorted_keys[0].shape[0]
-    alive = jnp.arange(cap) < nrows
-    boundary = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    boundary = jnp.zeros(cap, dtype=bool)
     for k, v in zip(sorted_keys, sorted_valids):
-        prev_k = jnp.roll(k, 1)
-        prev_v = jnp.roll(v, 1)
-        change = (k != prev_k) | (v != prev_v)
-        boundary = boundary | change
-    boundary = boundary.at[0].set(True)
-    boundary = boundary & alive
-    gid = jnp.cumsum(boundary) - 1
-    ngroups = jnp.where(nrows > 0, gid[jnp.maximum(nrows - 1, 0)] + 1, 0)
-    gid = jnp.where(alive, gid, cap - 1)
-    return gid, ngroups
+        boundary = _boundary_accum(boundary, k, v)
+    return _gid_from_boundary(boundary, nrows)
 
 
 def segment_sum(values, gid, num_segments):
@@ -259,6 +322,10 @@ def join_expand(
 
 
 @jax.jit
+def _verify_accum(ok, pk, pv, bk, bv, probe_idx, build_idx):
+    return ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
+
+
 def verify_equal(
     probe_keys: tuple,
     probe_valids: tuple,
@@ -272,5 +339,5 @@ def verify_equal(
     hash_join.rs:813): both sides non-null and equal on every key column."""
     ok = alive
     for pk, pv, bk, bv in zip(probe_keys, probe_valids, build_keys, build_valids):
-        ok = ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
+        ok = _verify_accum(ok, pk, pv, bk, bv, probe_idx, build_idx)
     return ok

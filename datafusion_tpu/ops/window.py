@@ -1,0 +1,289 @@
+"""WindowAggExec equivalent: window functions via segment scans.
+
+Reference: /root/reference/datafusion/src/physical_plan/windows/
+(window_agg_exec.rs:42, aggregate.rs:36 AggregateWindowExpr, built_in.rs:35)
+— per-partition ranges found with `lexicographical_partition_ranges` and
+evaluated per range.
+
+TPU-native: one lexsort by (partition keys, order keys), partition ids from
+boundary detection, then every function is a vectorized segment scan:
+  row_number    -> arange - segment_start
+  rank          -> order-key boundary positions rebased per segment
+  dense_rank    -> cumsum of order-key boundaries per segment
+  percent_rank / cume_dist -> rank arithmetic over segment sizes
+  ntile(n)      -> bucket arithmetic
+  lag/lead      -> shifted gather with partition guard
+  first/last/nth_value -> segment-start/end gathers
+  aggregates    -> running (cumulative) segment scan with ORDER BY,
+                   whole-segment reduction without (default-frame semantics,
+                   matching the reference's WindowFrame handling)
+Output rows stay in (partition, order) sorted order, like the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..columnar.column import Column
+from ..columnar.table import Table
+from ..errors import PlanError
+from ..exprs.physical import PhysicalExpr
+from ..functions.aggregates import is_aggregate_function
+from ..types import Field, Schema
+from ..types.dtypes import DataType, FLOAT64, INT64, UINT64
+from . import kernels as K
+from .base import ExecutionPlan
+from .sort import PhysSortExpr
+
+
+class PhysWindowExpr:
+    def __init__(
+        self,
+        fun: str,
+        args: list[PhysicalExpr],
+        partition_by: list[PhysicalExpr],
+        order_by: list[PhysSortExpr],
+        name: str,
+        dtype: DataType,
+        frame=None,
+    ):
+        self.fun = fun.lower()
+        self.args = args
+        self.partition_by = partition_by
+        self.order_by = order_by
+        self.name = name
+        self.dtype = dtype
+        self.frame = frame
+
+    def __repr__(self):
+        return f"{self.fun}(...) as {self.name}"
+
+
+class WindowAggExec(ExecutionPlan):
+    def __init__(self, window_exprs: list[PhysWindowExpr], input: ExecutionPlan):
+        super().__init__()
+        self.window_exprs = window_exprs
+        self.input = input
+
+    def schema(self) -> Schema:
+        fields = list(self.input.schema().fields)
+        for w in self.window_exprs:
+            fields.append(Field(w.name, w.dtype, True))
+        return Schema(fields)
+
+    def children(self):
+        return [self.input]
+
+    def with_new_children(self, c):
+        return WindowAggExec(self.window_exprs, c[0])
+
+    def _execute(self) -> Table:
+        t = self.input.execute()
+        # all window exprs in one exec share partition/order (the planner
+        # groups them); sort once by the first expr's keys
+        w0 = self.window_exprs[0]
+        sort_specs = [PhysSortExpr(p, True, True) for p in w0.partition_by] + list(
+            w0.order_by
+        )
+        if sort_specs:
+            from .sort import sort_table
+
+            t = sort_table(t, sort_specs)
+        cap = t.capacity
+        nrows = np.int64(t.nrows)
+        alive = jnp.arange(cap) < t.nrows
+
+        # partition ids
+        if w0.partition_by:
+            pcols = [p.evaluate(t) for p in w0.partition_by]
+            ordk = tuple(K.orderable_key(c.data, c.dtype) for c in pcols)
+            valids = tuple(c.valid for c in pcols)
+            gid, nparts = K.group_ids_sorted(ordk, valids, nrows)
+        else:
+            gid = jnp.where(alive, 0, cap - 1)
+
+        seg_start = _segment_starts(gid, cap, alive)
+        ar = jnp.arange(cap)
+        pos_in_seg = ar - seg_start[gid]
+
+        names = list(t.names)
+        cols = list(t.columns)
+        for w in self.window_exprs:
+            names.append(w.name)
+            cols.append(self._eval_window(w, t, gid, pos_in_seg, seg_start, alive, cap))
+        return Table(names, cols, t.nrows)
+
+    # ------------------------------------------------------------------
+    def _eval_window(self, w: PhysWindowExpr, t, gid, pos, seg_start, alive, cap) -> Column:
+        f = w.fun
+        ar = jnp.arange(cap)
+        seg_count = K.segment_sum(alive.astype(jnp.int64), gid, cap)
+        seg_size = seg_count[gid]
+
+        if f == "row_number":
+            return Column(UINT64, (pos + 1).astype(jnp.uint64), alive)
+
+        if f in ("rank", "dense_rank", "percent_rank", "cume_dist"):
+            # order-key boundaries within partitions
+            okeys = [s.expr.evaluate(t) for s in w.order_by]
+            boundary = jnp.zeros(cap, bool).at[0].set(True)
+            for c in okeys:
+                k = K.orderable_key(c.data, c.dtype)
+                boundary = boundary | (k != jnp.roll(k, 1)) | (c.valid != jnp.roll(c.valid, 1))
+            boundary = boundary | (gid != jnp.roll(gid, 1))
+            boundary = boundary.at[0].set(True)
+            # rank: 1 + number of rows before the current peer group start
+            peer_start = _running_max(jnp.where(boundary, ar, 0))
+            rank = (peer_start - seg_start[gid] + 1).astype(jnp.int64)
+            if f == "rank":
+                return Column(UINT64, rank.astype(jnp.uint64), alive)
+            if f == "dense_rank":
+                dr = _segment_cumsum(boundary.astype(jnp.int64), gid, seg_start, cap)
+                return Column(UINT64, dr.astype(jnp.uint64), alive)
+            if f == "percent_rank":
+                denom = jnp.maximum(seg_size - 1, 1).astype(jnp.float64)
+                return Column(FLOAT64, (rank - 1).astype(jnp.float64) / denom, alive)
+            # cume_dist: (# rows <= current peer group end) / size
+            nxt_boundary = jnp.roll(boundary, -1).at[cap - 1].set(True)
+            peer_end = _running_max_reverse(jnp.where(nxt_boundary, ar, -1))
+            cd = (peer_end - seg_start[gid] + 1).astype(jnp.float64) / jnp.maximum(
+                seg_size, 1
+            ).astype(jnp.float64)
+            return Column(FLOAT64, cd, alive)
+
+        if f == "ntile":
+            from .aggregate import _to_float  # noqa: F401
+
+            n = w.args[0].evaluate(t)
+            nt = n.data.astype(jnp.int64)
+            sz = jnp.maximum(seg_size, 1)
+            bucket = (pos * nt) // sz + 1
+            return Column(UINT64, bucket.astype(jnp.uint64), alive)
+
+        if f in ("lag", "lead"):
+            v = w.args[0].evaluate(t)
+            offset = 1
+            if len(w.args) > 1:
+                from .aggregate import _to_float  # noqa
+                offset = int(np.asarray(w.args[1].evaluate(t).data[0]))
+            shift = -offset if f == "lag" else offset
+            src = ar + shift
+            in_bounds = (src >= 0) & (src < cap)
+            src_c = jnp.clip(src, 0, cap - 1)
+            same_part = gid[src_c] == gid
+            ok = alive & in_bounds & same_part
+            data = v.data[src_c]
+            valid = jnp.where(ok, v.valid[src_c], False)
+            return Column(v.dtype, data, valid, v.dictionary)
+
+        if f in ("first_value", "last_value", "nth_value"):
+            v = w.args[0].evaluate(t)
+            if f == "first_value":
+                src = seg_start[gid]
+            elif f == "last_value":
+                src = seg_start[gid] + seg_size - 1
+            else:
+                n = int(np.asarray(w.args[1].evaluate(t).data[0]))
+                src = seg_start[gid] + (n - 1)
+            src_c = jnp.clip(src, 0, cap - 1)
+            ok = alive & (src >= seg_start[gid]) & (src < seg_start[gid] + seg_size)
+            return Column(v.dtype, v.data[src_c], v.valid[src_c] & ok, v.dictionary)
+
+        if is_aggregate_function(f):
+            v = w.args[0].evaluate(t) if w.args else None
+            cumulative = bool(w.order_by)
+            return _window_aggregate_full(
+                f, v, w.dtype, gid, seg_start, alive, cap, cumulative
+            )
+
+        raise PlanError(f"window function '{f}' not implemented")
+
+    def _display_line(self):
+        return f"WindowAggExec: {self.window_exprs}"
+
+
+# ---------------------------------------------------------------------------
+
+
+def _segment_starts(gid, cap, alive):
+    ar = jnp.arange(cap)
+    return jnp.full(cap, cap - 1, gid.dtype).at[gid].min(jnp.where(alive, ar, cap - 1))
+
+
+def _running_max(x):
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def _running_max_reverse(x):
+    return jax.lax.associative_scan(jnp.maximum, x, reverse=True)
+
+
+def _segment_cumsum(x, gid, seg_start, cap):
+    """Cumulative sum within segments (assumes rows sorted by gid)."""
+    total = jnp.cumsum(x)
+    seg_base = total[seg_start[gid]] - x[seg_start[gid]]
+    return total - seg_base
+
+
+def _window_aggregate_full(f, v, dtype, gid, seg_start, alive, cap, cumulative):
+    from .aggregate import _to_float
+
+    if f == "count":
+        x = (alive if v is None else (v.valid & alive)).astype(jnp.int64)
+        if cumulative:
+            out = _segment_cumsum(x, gid, seg_start, cap)
+        else:
+            out = K.segment_sum(x, gid, cap)[gid]
+        return Column(INT64, out, alive)
+    assert v is not None
+    if f == "sum":
+        acc = v.data.astype(dtype.storage_np_dtype())
+        x = jnp.where(v.valid & alive, acc, 0)
+        cnt = (v.valid & alive).astype(jnp.int64)
+        if cumulative:
+            out = _segment_cumsum(x, gid, seg_start, cap)
+            c = _segment_cumsum(cnt, gid, seg_start, cap)
+        else:
+            out = K.segment_sum(x, gid, cap)[gid]
+            c = K.segment_sum(cnt, gid, cap)[gid]
+        return Column(dtype, out, alive & (c > 0))
+    if f in ("avg", "mean"):
+        fx = _to_float(v.data, v.dtype)
+        x = jnp.where(v.valid & alive, fx, 0.0)
+        cnt = (v.valid & alive).astype(jnp.int64)
+        if cumulative:
+            s = _segment_cumsum(x, gid, seg_start, cap)
+            c = _segment_cumsum(cnt, gid, seg_start, cap)
+        else:
+            s = K.segment_sum(x, gid, cap)[gid]
+            c = K.segment_sum(cnt, gid, cap)[gid]
+        return Column(FLOAT64, s / jnp.maximum(c, 1), alive & (c > 0))
+    if f in ("min", "max"):
+        ordk = K.orderable_key(v.data, v.dtype)
+        big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+        if v.dtype.is_float:
+            neutral = jnp.inf if f == "min" else -jnp.inf
+            x = jnp.where(v.valid & alive, v.data, neutral)
+        else:
+            x = jnp.where(v.valid & alive, ordk, big)
+        if cumulative:
+            # running min/max with per-segment resets: scan over (gid, x)
+            # pairs where crossing a segment boundary restarts from x
+            opfn = jnp.minimum if f == "min" else jnp.maximum
+
+            def combine(a, b):
+                ag, av = a
+                bg, bv = b
+                keep = ag == bg
+                return bg, jnp.where(keep, opfn(av, bv), bv)
+
+            _, out = jax.lax.associative_scan(combine, (gid, x))
+        else:
+            out = K.segment_min(x, gid, cap)[gid] if f == "min" else K.segment_max(x, gid, cap)[gid]
+        cnt = (v.valid & alive).astype(jnp.int64)
+        c = K.segment_sum(cnt, gid, cap)[gid]
+        out = out.astype(v.dtype.storage_np_dtype())
+        return Column(v.dtype, out, alive & (c > 0), v.dictionary)
+    raise PlanError(f"window aggregate '{f}' not implemented")

@@ -1,0 +1,310 @@
+"""Subquery decorrelation: rewrite EXISTS / IN / scalar subqueries into
+semi/anti/left joins.
+
+The reference fork does NOT support SQL subqueries; this engine does
+(SURVEY.md §7 step 8 notes Q4/Q21/Q22 need semi/anti via EXISTS/IN
+rewrites).  Classic Kim/Dayal-style unnesting:
+
+- [NOT] EXISTS (sub)          -> semi/anti join on the sub's correlated
+                                 equality predicates; non-equality
+                                 correlated predicates become the join's
+                                 residual filter (e.g. TPC-H Q21's
+                                 l2.l_suppkey <> l1.l_suppkey)
+- expr [NOT] IN (sub)         -> semi/anti join on (expr = sub.col) plus
+                                 correlated predicates
+- cmp with scalar (sub)       -> correlated: group the sub's aggregate by
+                                 its correlated columns and LEFT-join on
+                                 them (Q2/Q17/Q20); uncorrelated: cross
+                                 join the single-row aggregate (Q11/Q15/Q22)
+
+Correlated references were recorded by the SQL planner as OuterColumn
+nodes; each rewritten subquery is wrapped in a SubqueryAlias to keep the
+joined schema unambiguous.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+from ..errors import PlanError
+from ..logical.expr import (
+    Alias,
+    BinaryExpr,
+    Column,
+    Exists,
+    Expr,
+    InSubquery,
+    Literal,
+    Not,
+    OuterColumn,
+    ScalarSubquery,
+    expr_contains,
+    transform_expr,
+)
+from ..logical.plan import (
+    Aggregate,
+    CrossJoin,
+    Distinct,
+    Filter,
+    Join,
+    Limit,
+    LogicalPlan,
+    Projection,
+    Sort,
+    SubqueryAlias,
+)
+from .optimizer import OptimizerRule, conjunction, split_conjunction, transform_plan_up
+
+_alias_counter = itertools.count()
+
+
+class DecorrelateSubqueries(OptimizerRule):
+    name = "decorrelate_subqueries"
+
+    def optimize(self, plan: LogicalPlan) -> LogicalPlan:
+        return _decorrelate(plan)
+
+
+def _decorrelate(plan: LogicalPlan) -> LogicalPlan:
+    inputs = plan.inputs()
+    if inputs:
+        plan = plan.with_inputs([_decorrelate(i) for i in inputs])
+    if isinstance(plan, Filter):
+        return _rewrite_filter(plan)
+    return plan
+
+
+def _has_subquery(e: Expr) -> bool:
+    return expr_contains(
+        e, lambda n: isinstance(n, (Exists, InSubquery, ScalarSubquery))
+    )
+
+
+def _rewrite_filter(f: Filter) -> LogicalPlan:
+    conjuncts = split_conjunction(f.predicate)
+    plain: list[Expr] = []
+    sub_conjuncts: list[Expr] = []
+    for c in conjuncts:
+        # normalize NOT EXISTS / NOT IN
+        if isinstance(c, Not) and isinstance(c.expr, Exists):
+            c = Exists(c.expr.subquery, not c.expr.negated)
+        if isinstance(c, Not) and isinstance(c.expr, InSubquery):
+            c = InSubquery(c.expr.expr, c.expr.subquery, not c.expr.negated)
+        (sub_conjuncts if _has_subquery(c) else plain).append(c)
+    if not sub_conjuncts:
+        return f
+    # plain conjuncts filter BELOW the subquery joins so downstream rules
+    # (cross-join elimination, filter pushdown) still see Filter-over-
+    # CrossJoin shapes; subquery-derived conjuncts go on top
+    input_plan = f.input
+    pred = conjunction(plain)
+    if pred is not None:
+        input_plan = Filter(pred, input_plan)
+    remaining: list[Expr] = []
+    for c in sub_conjuncts:
+        new_conjunct, input_plan = _rewrite_conjunct(c, input_plan)
+        if new_conjunct is not None:
+            remaining.append(new_conjunct)
+    pred = conjunction(remaining)
+    return Filter(pred, input_plan) if pred is not None else input_plan
+
+
+def _rewrite_conjunct(c: Expr, input_plan: LogicalPlan):
+    """Returns (replacement conjunct or None, new input plan)."""
+    if isinstance(c, Exists):
+        sub = _decorrelate(c.subquery)
+        sub, keys, residual, alias = _extract_correlations(sub)
+        jt = "anti" if c.negated else "semi"
+        if not keys and residual is None:
+            # uncorrelated EXISTS: true iff sub is non-empty — rare; model as
+            # cross join against aggregated row count
+            raise PlanError("uncorrelated EXISTS not supported yet")
+        return None, Join(input_plan, sub, keys, jt, residual)
+
+    if isinstance(c, InSubquery):
+        sub = _decorrelate(c.subquery)
+        value_field = sub.schema().fields[0]
+        sub, keys, residual, alias = _extract_correlations(sub)
+        in_key = (c.expr, Column(value_field.name, alias))
+        jt = "anti" if c.negated else "semi"
+        return None, Join(input_plan, sub, [in_key] + keys, jt, residual)
+
+    # scalar subquery inside a comparison / arbitrary expression
+    subqueries: list[ScalarSubquery] = []
+
+    def collect(n: Expr) -> Expr:
+        if isinstance(n, ScalarSubquery):
+            subqueries.append(n)
+        return n
+
+    transform_expr(c, collect)
+    if not subqueries:
+        # subquery hidden deeper (e.g. inside Not) — unsupported shape
+        raise PlanError(f"unsupported subquery conjunct: {c!r}")
+
+    replacements: dict[int, Expr] = {}
+    for sq in subqueries:
+        sub = _decorrelate(sq.subquery)
+        value_field = sub.schema().fields[0]
+        sub2, keys, residual, alias = _extract_correlations(sub)
+        value_col = Column(value_field.name, alias)
+        if keys or residual is not None:
+            input_plan = Join(input_plan, sub2, keys, "left", residual)
+        else:
+            input_plan = CrossJoin(input_plan, sub2)
+        replacements[id(sq)] = value_col
+
+    def substitute(n: Expr) -> Expr:
+        if isinstance(n, ScalarSubquery) and id(n) in replacements:
+            return replacements[id(n)]
+        return n
+
+    new_c = transform_expr(c, substitute)
+    return new_c, input_plan
+
+
+# ---------------------------------------------------------------------------
+# correlation extraction
+# ---------------------------------------------------------------------------
+
+
+def _extract_correlations(sub: LogicalPlan):
+    """Strip correlated predicates out of `sub`.
+
+    Returns (rewritten sub wrapped in SubqueryAlias, join keys
+    [(outer_expr, inner Column)], residual filter Expr | None, alias)."""
+    keys: list[tuple[Expr, Column]] = []  # (outer side, inner column name)
+    residuals: list[Expr] = []
+    extra_inner_cols: list[Column] = []
+
+    def strip(plan: LogicalPlan) -> LogicalPlan:
+        inputs = plan.inputs()
+        if inputs:
+            plan = plan.with_inputs([strip(i) for i in inputs])
+        if isinstance(plan, Filter):
+            conjuncts = split_conjunction(plan.predicate)
+            keep = []
+            for c in conjuncts:
+                if not expr_contains(c, lambda n: isinstance(n, OuterColumn)):
+                    keep.append(c)
+                    continue
+                handled = _classify_correlated(c, keys, residuals, extra_inner_cols)
+                if not handled:
+                    keep.append(c)  # will fail later with clear error
+            pred = conjunction(keep)
+            return Filter(pred, plan.input) if pred is not None else plan.input
+        return plan
+
+    sub = strip(sub)
+
+    # make sure the inner key/residual columns are visible in sub's output,
+    # adding them through Projection/Aggregate layers when needed
+    inner_needed = [k[1] for k in keys] + extra_inner_cols
+    sub = _expose_columns(sub, inner_needed)
+
+    alias = f"__sq_{next(_alias_counter)}"
+    sub_schema = sub.schema()
+
+    # rebind inner column refs to the aliased subquery output
+    def alias_inner(col: Column) -> Column:
+        # find the matching output field (by name; qualifier may differ)
+        for f in sub_schema.fields:
+            if f.name == col.name and (col.relation is None or f.qualifier == col.relation):
+                return Column(f.name, alias)
+        raise PlanError(f"correlated inner column {col!r} not in subquery output")
+
+    keys2 = []
+    for outer_e, inner_c in keys:
+        keys2.append((_outer_to_column(outer_e), alias_inner(inner_c)))
+
+    residual = None
+    if residuals:
+        def fix(n: Expr) -> Expr:
+            if isinstance(n, OuterColumn):
+                return Column(n.name, n.relation)
+            if isinstance(n, Column):
+                return alias_inner(n)
+            return n
+
+        residual = conjunction([transform_expr(r, fix) for r in residuals])
+
+    return SubqueryAlias(sub, alias), keys2, residual, alias
+
+
+def _outer_to_column(e: Expr) -> Expr:
+    def fix(n: Expr) -> Expr:
+        if isinstance(n, OuterColumn):
+            return Column(n.name, n.relation)
+        return n
+
+    return transform_expr(e, fix)
+
+
+def _classify_correlated(c: Expr, keys, residuals, extra_inner_cols) -> bool:
+    """Equality between an outer expr and an inner column -> join key;
+    everything else correlated -> residual."""
+    if isinstance(c, BinaryExpr) and c.op == "=":
+        l_outer = expr_contains(c.left, lambda n: isinstance(n, OuterColumn))
+        r_outer = expr_contains(c.right, lambda n: isinstance(n, OuterColumn))
+        if l_outer != r_outer:
+            outer_side = c.left if l_outer else c.right
+            inner_side = c.right if l_outer else c.left
+            if isinstance(inner_side, Column):
+                keys.append((outer_side, inner_side))
+                return True
+    # residual: remember inner columns it references
+    def collect(n: Expr) -> Expr:
+        if isinstance(n, Column):
+            extra_inner_cols.append(n)
+        return n
+
+    transform_expr(c, collect)
+    residuals.append(c)
+    return True
+
+
+def _expose_columns(plan: LogicalPlan, cols: list[Column]) -> LogicalPlan:
+    """Ensure `cols` appear in plan's output schema, extending Projection /
+    Aggregate / passing through Sort/Limit wrappers."""
+    if not cols:
+        return plan
+    schema = plan.schema()
+    missing = []
+    for c in cols:
+        try:
+            schema.field_from_column(c.name, c.relation)
+        except Exception:
+            missing.append(c)
+        else:
+            continue
+    # even when present, for Aggregate outputs the column must be a group key
+    if isinstance(plan, Projection):
+        inner = _expose_columns(plan.input, cols)
+        in_schema = inner.schema()
+        exprs = list(plan.exprs)
+        names = {e.output_name() for e in exprs}
+        for c in cols:
+            f = in_schema.field_from_column(c.name, c.relation)
+            if f.name not in names:
+                exprs.append(Column(f.name, f.qualifier))
+                names.add(f.name)
+        return Projection(exprs, inner, plan.alias)
+    if isinstance(plan, Aggregate):
+        group = list(plan.group_expr)
+        gnames = {g.output_name() for g in group}
+        in_schema = plan.input.schema()
+        for c in cols:
+            f = in_schema.field_from_column(c.name, c.relation)
+            if f.name not in gnames:
+                group.append(Column(f.name, f.qualifier))
+                gnames.add(f.name)
+        return Aggregate(plan.input, group, plan.aggr_expr)
+    if isinstance(plan, (Sort, Limit, Distinct, Filter)):
+        inner = _expose_columns(plan.inputs()[0], cols)
+        return plan.with_inputs([inner])
+    if isinstance(plan, SubqueryAlias):
+        inner = _expose_columns(plan.input, cols)
+        return SubqueryAlias(inner, plan.alias)
+    # base relations (scans, joins) expose everything already
+    return plan
