@@ -216,7 +216,12 @@ class ExecutionContext:
     def create_physical_plan(self, plan: LogicalPlan):
         planner = self.config.query_planner or DefaultPhysicalPlanner()
         phys = planner.create_physical_plan(plan)
-        for rule in self.config.physical_optimizer_rules:
+        rules = self.config.physical_optimizer_rules
+        if not rules:
+            from ..physical.fuse import FuseStages
+
+            rules = [FuseStages()]
+        for rule in rules:
             phys = rule.optimize(phys)
         return phys
 

@@ -1,0 +1,115 @@
+"""Device mesh + sharded tables: the engine's partition model.
+
+Replaces the reference's partition-per-Tokio-task model and Ballista's
+executor fleet (SURVEY.md §2.8): a partition = one mesh shard of every
+column buffer; exchange = XLA collectives over ICI instead of
+RepartitionExec channels / Arrow Flight shuffle files.
+
+One mesh axis ("dp") shards the row axis.  A ShardedTable holds
+row-sharded global arrays plus a per-shard live-row count; live rows sit at
+the FRONT of each shard (same compaction invariant as single-device Tables).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..columnar.column import Column
+from ..columnar.table import Table, round_capacity
+from ..errors import InternalError
+
+AXIS = "dp"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+@dataclass
+class ShardedTable:
+    """Row-sharded table: data/valid arrays have global shape
+    (ndev * shard_cap,) sharded on AXIS; nrows has shape (ndev,) (one count
+    per shard, sharded so each device owns its own count)."""
+
+    names: list[str]
+    dtypes: list
+    dicts: list
+    datas: list[jnp.ndarray]
+    valids: list[jnp.ndarray]
+    nrows: jnp.ndarray  # (ndev,) int64
+    mesh: Mesh
+    shard_cap: int
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.devices.size
+
+    def total_rows(self) -> int:
+        return int(jnp.sum(self.nrows))
+
+    # ---- host <-> device ------------------------------------------------
+    @staticmethod
+    def from_table(t: Table, mesh: Mesh) -> "ShardedTable":
+        """Round-robin-block scatter a host/single-device Table onto the mesh
+        (the reference's RepartitionExec::RoundRobinBatch equivalent)."""
+        ndev = mesh.devices.size
+        per = -(-max(t.nrows, 1) // ndev)  # ceil
+        shard_cap = round_capacity(per)
+        counts = np.minimum(
+            np.maximum(t.nrows - per * np.arange(ndev), 0), per
+        ).astype(np.int64)
+        datas, valids = [], []
+        sharding = NamedSharding(mesh, P(AXIS))
+        for c in t.columns:
+            host_d = np.asarray(c.data[: t.nrows])
+            host_v = np.asarray(c.valid[: t.nrows])
+            buf = np.zeros((ndev, shard_cap), dtype=host_d.dtype)
+            vbuf = np.zeros((ndev, shard_cap), dtype=bool)
+            for d in range(ndev):
+                lo = d * per
+                n = counts[d]
+                buf[d, :n] = host_d[lo : lo + n]
+                vbuf[d, :n] = host_v[lo : lo + n]
+            datas.append(jax.device_put(buf.reshape(-1), sharding))
+            valids.append(jax.device_put(vbuf.reshape(-1), sharding))
+        nrows = jax.device_put(counts, sharding)
+        return ShardedTable(
+            list(t.names),
+            [c.dtype for c in t.columns],
+            [c.dictionary for c in t.columns],
+            datas,
+            valids,
+            nrows,
+            mesh,
+            shard_cap,
+        )
+
+    def to_table(self) -> Table:
+        """Gather all shards into one compacted single-device Table."""
+        ndev = self.ndev
+        counts = np.asarray(self.nrows)
+        total = int(counts.sum())
+        cap = round_capacity(total)
+        cols = []
+        for dt, dic, d, v in zip(self.dtypes, self.dicts, self.datas, self.valids):
+            hd = np.asarray(d).reshape(ndev, self.shard_cap)
+            hv = np.asarray(v).reshape(ndev, self.shard_cap)
+            buf = np.zeros(cap, dtype=hd.dtype)
+            vbuf = np.zeros(cap, dtype=bool)
+            at = 0
+            for i in range(ndev):
+                n = int(counts[i])
+                buf[at : at + n] = hd[i, :n]
+                vbuf[at : at + n] = hv[i, :n]
+                at += n
+            cols.append(Column(dt, jnp.asarray(buf), jnp.asarray(vbuf), dic))
+        return Table(self.names, cols, total)

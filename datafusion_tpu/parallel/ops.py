@@ -1,0 +1,493 @@
+"""Distributed (SPMD) operator implementations.
+
+Each distributed operator is ONE jitted shard_map program over the mesh —
+the TPU-native replacement for Ballista's stage execution (SURVEY.md §7):
+
+  dist_filter / dist_project     local per-shard (reference: partition-local
+                                 FilterExec/ProjectionExec)
+  dist_aggregate                 partial local agg -> all_to_all re-key by
+                                 group hash -> final local agg (reference:
+                                 Partial/FinalPartitioned HashAggregate +
+                                 hash RepartitionExec, planner.rs:526-601)
+  dist_join                      all_to_all both sides by key hash -> local
+                                 sorted-hash join (reference: repartitioned
+                                 HashJoinExec PartitionMode::Partitioned)
+  broadcast_join                 all-gather small build side (reference:
+                                 PartitionMode::CollectLeft)
+
+Expression evaluation happens inside shard_map on per-shard Table views;
+host-side dictionary work (string LUTs, literal codes) happens once at trace
+time and is embedded as replicated constants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..columnar.column import Column
+from ..columnar.table import Table
+from ..errors import ExecutionError
+from ..exprs.physical import PhysicalExpr, harmonize_strings
+from ..ops import kernels as K
+from ..ops.aggregate import PhysAggExpr, _eval_aggregate, _group_rows, _merge_aggregate, _segment_first_index
+from .mesh import AXIS, ShardedTable
+from .shuffle import local_alive, shuffle_by_hash
+
+
+def _local_view(st: ShardedTable, datas, valids) -> Table:
+    """Per-shard Table view for expression evaluation inside shard_map.
+    nrows is not used by expression evaluation (masking is the operator's
+    job), so it is set to 0."""
+    cols = [
+        Column(dt, d, v, dic)
+        for dt, dic, d, v in zip(st.dtypes, st.dicts, datas, valids)
+    ]
+    return Table(list(st.names), cols, 0)
+
+
+def _shard_map(mesh, fn, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def _specs(n):
+    return tuple(P(AXIS) for _ in range(n))
+
+
+# ---------------------------------------------------------------------------
+# filter / project
+# ---------------------------------------------------------------------------
+
+
+def dist_filter(st: ShardedTable, pred: PhysicalExpr) -> ShardedTable:
+    ncols = len(st.datas)
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        t = _local_view(st, datas, valids)
+        p = pred.evaluate(t)
+        keep = p.data.astype(bool) & p.valid & local_alive(st.shard_cap, nrows)
+        pos = jnp.cumsum(keep) - 1
+        tgt = jnp.where(keep, pos, st.shard_cap)
+        out_d = [jnp.zeros_like(d).at[tgt].set(d, mode="drop") for d in datas]
+        out_v = [
+            jnp.zeros_like(v).at[tgt].set(v & keep, mode="drop") for v in valids
+        ]
+        return (jnp.sum(keep).reshape(1).astype(jnp.int64), *out_d, *out_v)
+
+    fn = _shard_map(
+        st.mesh,
+        body,
+        in_specs=_specs(1 + 2 * ncols),
+        out_specs=_specs(1 + 2 * ncols),
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    nrows, rest = out[0], out[1:]
+    return ShardedTable(
+        st.names,
+        st.dtypes,
+        st.dicts,
+        list(rest[:ncols]),
+        list(rest[ncols:]),
+        nrows,
+        st.mesh,
+        st.shard_cap,
+    )
+
+
+def dist_project(
+    st: ShardedTable, exprs: list[tuple[PhysicalExpr, str]]
+) -> ShardedTable:
+    ncols = len(st.datas)
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        t = _local_view(st, datas, valids)
+        outs = [e.evaluate(t) for e, _ in exprs]
+        return tuple(c.data for c in outs) + tuple(c.valid for c in outs)
+
+    fn = _shard_map(
+        st.mesh,
+        body,
+        in_specs=_specs(1 + 2 * ncols),
+        out_specs=_specs(2 * len(exprs)),
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    k = len(exprs)
+    # output dtypes/dicts come from a host-side trace-free evaluation plan:
+    # evaluate on an empty local view to learn dtype/dictionary
+    meta = [e.dtype for e, _ in exprs]
+    sample = _local_view(
+        st,
+        [jnp.zeros(1, d.dtype) for d in st.datas],
+        [jnp.zeros(1, bool) for _ in st.valids],
+    )
+    dicts = []
+    for e, _ in exprs:
+        c = e.evaluate(sample)
+        dicts.append(c.dictionary)
+    return ShardedTable(
+        [n for _, n in exprs],
+        meta,
+        dicts,
+        list(out[:k]),
+        list(out[k:]),
+        st.nrows,
+        st.mesh,
+        st.shard_cap,
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate
+# ---------------------------------------------------------------------------
+
+
+def dist_aggregate(
+    st: ShardedTable,
+    group_expr: list[tuple[PhysicalExpr, str]],
+    aggr_expr: list[PhysAggExpr],
+    bucket_cap: int | None = None,
+) -> ShardedTable:
+    """partial local agg -> all_to_all by group-key hash -> final local agg,
+    fused into one jitted SPMD program."""
+    ndev = st.ndev
+    ncols = len(st.datas)
+    cap = st.shard_cap
+    B = bucket_cap or cap
+
+    # partial state schema
+    state_names: list[str] = [n for _, n in group_expr]
+    state_dtypes = [e.dtype for e, _ in group_expr]
+    for a in aggr_expr:
+        for sn, sd in a.state_fields():
+            state_names.append(sn)
+            state_dtypes.append(sd)
+    out_names = [n for _, n in group_expr] + [a.name for a in aggr_expr]
+    out_dtypes = [e.dtype for e, _ in group_expr] + [
+        a.return_type() for a in aggr_expr
+    ]
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        t = _local_view(st, datas, valids)
+        nloc = nrows[0]
+
+        # ---- phase 1: local partial aggregate --------------------------------
+        key_cols = [e.evaluate(t) for e, _ in group_expr]
+        if key_cols:
+            perm, gid, ngroups, sorted_keys = _group_rows(key_cols, nloc)
+        else:
+            perm = jnp.arange(cap)
+            gid = jnp.where(jnp.arange(cap) < nloc, 0, cap - 1)
+            ngroups = jnp.where(nloc >= 0, 1, 1)
+            sorted_keys = []
+        alive_sorted = jnp.arange(cap) < nloc
+
+        part_d: list[jnp.ndarray] = []
+        part_v: list[jnp.ndarray] = []
+        for kc, (skd, skv) in zip(key_cols, sorted_keys):
+            first_idx = _segment_first_index(gid, cap, alive_sorted)
+            part_d.append(skd[first_idx])
+            part_v.append(skv[first_idx] & (jnp.arange(cap) < ngroups))
+        for a in aggr_expr:
+            cols = _eval_aggregate(
+                a, t, perm, gid, cap, alive_sorted, ngroups, emit_state=True
+            )
+            for c in cols:
+                part_d.append(c.data)
+                part_v.append(c.valid)
+
+        # ---- phase 2: shuffle partial states by group-key hash ----------------
+        nkeys = len(group_expr)
+        if nkeys:
+            khash = K.hash_columns(
+                [
+                    K.hashable_key(part_d[i], state_dtypes[i])
+                    for i in range(nkeys)
+                ],
+                [part_v[i] for i in range(nkeys)],
+            )
+            sh_d, sh_v, new_n, _ovf = shuffle_by_hash(
+                part_d, part_v, ngroups.reshape(1), khash, ndev, B
+            )
+            fcap = ndev * B
+        else:
+            # global aggregate: reduce states onto every shard via psum-style
+            # all_gather of the single state row
+            g = [
+                jax.lax.all_gather(d[:1], AXIS).reshape(-1) for d in part_d
+            ]
+            gv = [
+                jax.lax.all_gather(v[:1], AXIS).reshape(-1) for v in part_v
+            ]
+            pad = cap - ndev
+            sh_d = [
+                jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) for x in g
+            ]
+            sh_v = [
+                jnp.concatenate([x, jnp.zeros(pad, bool)]) for x in gv
+            ]
+            new_n = jnp.full((1,), ndev, jnp.int64)
+            fcap = cap
+
+        # ---- phase 3: local final aggregate over states ------------------------
+        nloc2 = new_n[0]
+        skey_cols = [
+            Column(state_dtypes[i], sh_d[i], sh_v[i], st_dict)
+            for i, st_dict in zip(range(nkeys), _group_dicts(group_expr, st))
+        ]
+        if skey_cols:
+            perm2, gid2, ngroups2, sorted2 = _group_rows(skey_cols, nloc2)
+        else:
+            perm2 = jnp.arange(fcap)
+            gid2 = jnp.where(jnp.arange(fcap) < nloc2, 0, fcap - 1)
+            ngroups2 = jnp.int64(1)
+            sorted2 = []
+        alive2 = jnp.arange(fcap) < nloc2
+
+        fin_d, fin_v = [], []
+        for kc, (skd, skv) in zip(skey_cols, sorted2):
+            fi = _segment_first_index(gid2, fcap, alive2)
+            fin_d.append(skd[fi])
+            fin_v.append(skv[fi] & (jnp.arange(fcap) < ngroups2))
+        idx = nkeys
+        for a in aggr_expr:
+            nstate = len(a.state_fields())
+            scols = [
+                Column(state_dtypes[idx + j], sh_d[idx + j], sh_v[idx + j])
+                for j in range(nstate)
+            ]
+            idx += nstate
+            merged = _merge_aggregate(a, scols, perm2, gid2, fcap, alive2, ngroups2)
+            fin_d.append(merged.data)
+            fin_v.append(merged.valid)
+
+        if nkeys:
+            out_n = ngroups2
+        else:
+            # global aggregate: result replicated on every shard after the
+            # all_gather; only shard 0 claims the row
+            me = jax.lax.axis_index(AXIS)
+            out_n = jnp.where(me == 0, 1, 0)
+        return (
+            jnp.asarray(out_n).reshape(1).astype(jnp.int64),
+            *fin_d,
+            *fin_v,
+        )
+
+    k = len(out_names)
+    fn = _shard_map(
+        st.mesh,
+        body,
+        in_specs=_specs(1 + 2 * ncols),
+        out_specs=_specs(1 + 2 * k),
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    nkeys = len(group_expr)
+    out_cap = (ndev * B) if nkeys else cap
+    dicts = list(_group_dicts(group_expr, st)) + [
+        _agg_dict(a, st) for a in aggr_expr
+    ]
+    return ShardedTable(
+        out_names,
+        out_dtypes,
+        dicts,
+        list(out[1 : 1 + k]),
+        list(out[1 + k :]),
+        out[0],
+        st.mesh,
+        out_cap,
+    )
+
+
+def _group_dicts(group_expr, st: ShardedTable):
+    sample = _local_view(
+        st,
+        [jnp.zeros(1, d.dtype) for d in st.datas],
+        [jnp.zeros(1, bool) for _ in st.valids],
+    )
+    return [e.evaluate(sample).dictionary for e, _ in group_expr]
+
+
+def _agg_dict(a: PhysAggExpr, st: ShardedTable):
+    if a.fun in ("min", "max") and a.expr is not None:
+        sample = _local_view(
+            st,
+            [jnp.zeros(1, d.dtype) for d in st.datas],
+            [jnp.zeros(1, bool) for _ in st.valids],
+        )
+        return a.expr.evaluate(sample).dictionary
+    return None
+
+
+# ---------------------------------------------------------------------------
+# join
+# ---------------------------------------------------------------------------
+
+
+def dist_join(
+    left: ShardedTable,
+    right: ShardedTable,
+    on: list[tuple[PhysicalExpr, PhysicalExpr]],
+    join_type: str = "inner",
+    fanout: int = 4,
+    bucket_cap: int | None = None,
+) -> ShardedTable:
+    """Partitioned hash join: all_to_all both sides by key hash, then a local
+    sorted-hash join per shard.  Join output capacity per shard is
+    fanout * probe_cap (static); overflow raises for a host-level retry."""
+    ndev = left.ndev
+    nl, nr = len(left.datas), len(right.datas)
+    Bl = bucket_cap or left.shard_cap
+    Br = bucket_cap or right.shard_cap
+    lcap2 = ndev * Bl
+    rcap2 = ndev * Br
+    out_cap = fanout * max(lcap2, 1)
+
+    # harmonize string key dictionaries at trace time
+    lsample = _local_view(
+        left,
+        [jnp.zeros(1, d.dtype) for d in left.datas],
+        [jnp.zeros(1, bool) for _ in left.valids],
+    )
+    rsample = _local_view(
+        right,
+        [jnp.zeros(1, d.dtype) for d in right.datas],
+        [jnp.zeros(1, bool) for _ in right.valids],
+    )
+
+    def body(lnrows, rnrows, *arrays):
+        ld = list(arrays[:nl])
+        lv = list(arrays[nl : 2 * nl])
+        rd = list(arrays[2 * nl : 2 * nl + nr])
+        rv = list(arrays[2 * nl + nr :])
+        lt = _local_view(left, ld, lv)
+        rt = _local_view(right, rd, rv)
+
+        lkeys = [le.evaluate(lt) for le, _ in on]
+        rkeys = [re.evaluate(rt) for _, re in on]
+        # dictionary harmonization must be identical on both sides: trace-time
+        merged = []
+        for (le, re_), lc, rc in zip(on, lkeys, rkeys):
+            if lc.dtype.is_string and rc.dtype.is_string:
+                lc, rc = harmonize_strings(lc, rc)
+            merged.append((lc, rc))
+        lkeys = [m[0] for m in merged]
+        rkeys = [m[1] for m in merged]
+
+        lhash = K.hash_columns(
+            [K.hashable_key(c.data, c.dtype) for c in lkeys],
+            [c.valid for c in lkeys],
+        )
+        rhash = K.hash_columns(
+            [K.hashable_key(c.data, c.dtype) for c in rkeys],
+            [c.valid for c in rkeys],
+        )
+
+        # shuffle rows AND their key columns together
+        lpack_d = ld + [c.data for c in lkeys]
+        lpack_v = lv + [c.valid for c in lkeys]
+        sl_d, sl_v, lnew, _ = shuffle_by_hash(lpack_d, lpack_v, lnrows, lhash, ndev, Bl)
+        rpack_d = rd + [c.data for c in rkeys]
+        rpack_v = rv + [c.valid for c in rkeys]
+        sr_d, sr_v, rnew, _ = shuffle_by_hash(rpack_d, rpack_v, rnrows, rhash, ndev, Br)
+
+        nkeys = len(on)
+        lkd = sl_d[nl:]
+        lkv = sl_v[nl:]
+        rkd = sr_d[nr:]
+        rkv = sr_v[nr:]
+        lord = [
+            K.orderable_key(d, c.dtype) for d, c in zip(lkd, lkeys)
+        ]
+        rord = [
+            K.orderable_key(d, c.dtype) for d, c in zip(rkd, rkeys)
+        ]
+        lh2 = K.hash_columns(
+            [K.hashable_key(d, c.dtype) for d, c in zip(lkd, lkeys)], lkv
+        )
+        rh2 = K.hash_columns(
+            [K.hashable_key(d, c.dtype) for d, c in zip(rkd, rkeys)], rkv
+        )
+
+        sorted_hash, border = K.join_build_sort(rh2, rnew[0])
+        l_alive = jnp.arange(lcap2) < lnew[0]
+        probe_ok = l_alive
+        for v in lkv:
+            probe_ok = probe_ok & v
+        lo, counts = K.join_probe_counts(sorted_hash, lh2, probe_ok, rnew[0])
+        total = jnp.sum(counts)
+        probe_idx, build_idx, pair_alive, _ = K.join_expand(lo, counts, border, out_cap)
+        ok = pair_alive
+        for pk, pv, bk, bv in zip(lord, lkv, rord, rkv):
+            ok = ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
+
+        # compact verified pairs
+        pos = jnp.cumsum(ok) - 1
+        tgt = jnp.where(ok, pos, out_cap)
+        outs_d, outs_v = [], []
+        for d, v in zip(sl_d[:nl], sl_v[:nl]):
+            outs_d.append(
+                jnp.zeros(out_cap, d.dtype).at[tgt].set(d[probe_idx], mode="drop")
+            )
+            outs_v.append(
+                jnp.zeros(out_cap, bool).at[tgt].set(v[probe_idx] & ok, mode="drop")
+            )
+        for d, v in zip(sr_d[:nr], sr_v[:nr]):
+            outs_d.append(
+                jnp.zeros(out_cap, d.dtype).at[tgt].set(d[build_idx], mode="drop")
+            )
+            outs_v.append(
+                jnp.zeros(out_cap, bool).at[tgt].set(v[build_idx] & ok, mode="drop")
+            )
+        n_out = jnp.sum(ok)
+        overflow = jnp.maximum(total - out_cap, 0)
+        return (
+            n_out.reshape(1).astype(jnp.int64),
+            overflow.reshape(1).astype(jnp.int64),
+            *outs_d,
+            *outs_v,
+        )
+
+    if join_type != "inner":
+        raise ExecutionError(
+            f"distributed {join_type} join not implemented yet; "
+            "use the single-device path"
+        )
+
+    ncols_out = nl + nr
+    fn = _shard_map(
+        left.mesh,
+        body,
+        in_specs=_specs(2 + 2 * nl + 2 * nr),
+        out_specs=_specs(2 + 2 * ncols_out),
+    )
+    out = jax.jit(fn)(
+        left.nrows, right.nrows, *left.datas, *left.valids, *right.datas, *right.valids
+    )
+    overflow = int(jnp.max(out[1]))
+    if overflow > 0:
+        if fanout >= 64:
+            raise ExecutionError("distributed join output overflow")
+        return dist_join(left, right, on, join_type, fanout * 4, bucket_cap)
+    names = list(left.names) + list(right.names)
+    dtypes = list(left.dtypes) + list(right.dtypes)
+    dicts = list(left.dicts) + list(right.dicts)
+    return ShardedTable(
+        names,
+        dtypes,
+        dicts,
+        list(out[2 : 2 + ncols_out]),
+        list(out[2 + ncols_out :]),
+        out[0],
+        left.mesh,
+        out_cap,
+    )
