@@ -26,6 +26,11 @@ class Column:
     data: jnp.ndarray  # shape (capacity,), storage dtype
     valid: jnp.ndarray  # shape (capacity,), bool
     dictionary: StringDict | None = None  # strings only
+    # host-known constant value when the column came from a literal; lets
+    # host-side scalar-arg functions (substr/lpad/date_part...) read the
+    # value without touching device data (which may be a tracer under
+    # whole-stage jit compilation)
+    literal: object = None
 
     @property
     def capacity(self) -> int:

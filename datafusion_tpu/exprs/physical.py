@@ -73,6 +73,7 @@ def _const_column(capacity: int, sv: ScalarValue, dictionary: StringDict | None 
             jnp.zeros(capacity, dt.storage_np_dtype()),
             jnp.zeros(capacity, bool),
             dictionary,
+            literal=sv,
         )
     if dt.is_string:
         d = dictionary
@@ -86,11 +87,13 @@ def _const_column(capacity: int, sv: ScalarValue, dictionary: StringDict | None 
             jnp.full(capacity, code, jnp.int32),
             jnp.ones(capacity, bool),
             d,
+            literal=sv,
         )
     return CVec(
         dt,
         jnp.full(capacity, sv.value, dt.storage_np_dtype()),
         jnp.ones(capacity, bool),
+        literal=sv,
     )
 
 

@@ -242,6 +242,13 @@ def _strings_to_col(strs: list, valid_extra=None) -> CVec:
 
 def _as_host_scalar(col: CVec):
     """First value of a constant column (literals evaluate to full columns)."""
+    lit = getattr(col, "literal", None)
+    if lit is not None:
+        # literal CVec: read the host-known value (device data may be a
+        # tracer under whole-stage jit)
+        if col.dtype.is_string:
+            return str(lit.value)
+        return lit.value
     if col.dtype.is_string:
         assert col.dictionary is not None and len(col.dictionary) >= 1
         return str(col.dictionary.values[int(np.asarray(col.data[0]))])
