@@ -37,6 +37,12 @@ class MemorySchemaProvider(SchemaProvider):
 
     def register_table(self, name, table):
         self._tables[name] = table
+        # remember the catalog name so plans can ship scans by reference
+        # even when the scan node carries an alias (SELECT ... FROM t x)
+        try:
+            table.registered_name = name
+        except AttributeError:
+            pass
 
     def deregister_table(self, name):
         self._tables.pop(name, None)

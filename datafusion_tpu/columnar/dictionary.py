@@ -29,7 +29,7 @@ class StringDict:
     column, so there is no sentinel code.
     """
 
-    __slots__ = ("values", "_lookup", "_id")
+    __slots__ = ("values", "_lookup", "_id", "_value_hash_lut")
 
     def __init__(self, values: np.ndarray):
         self.values = np.asarray(values, dtype=object)

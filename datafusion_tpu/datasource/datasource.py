@@ -70,4 +70,4 @@ class MemTable(TableProvider):
         return Statistics(num_rows=self.table.nrows, is_exact=True)
 
     def scan(self, projection=None, filters=None, limit=None, table_name="") -> ExecutionPlan:
-        return MemoryExec(self.table, self._schema, projection)
+        return MemoryExec(self.table, self._schema, projection, table_name=table_name)

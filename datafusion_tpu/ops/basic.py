@@ -31,11 +31,20 @@ from .base import ExecutionPlan
 
 
 class MemoryExec(ExecutionPlan):
-    def __init__(self, table: Table, schema: Schema, projection: list[int] | None = None):
+    def __init__(
+        self,
+        table: Table,
+        schema: Schema,
+        projection: list[int] | None = None,
+        table_name: str = "",
+    ):
         super().__init__()
         self.table = table
         self._schema = schema
         self.projection = projection
+        # registered-catalog name, when known: lets the distributed planner
+        # ship this scan by reference (DistScanExec) instead of by value
+        self.table_name = table_name
 
     def schema(self):
         if self.projection is None:
