@@ -53,14 +53,18 @@ class _FileTable(TableProvider):
     def _read_arrow(self, columns: list[str] | None):
         raise NotImplementedError
 
+    def _load_table(self, cols: list[str] | None) -> Table:
+        """Read + ingest.  Subclasses may override with a native fast path
+        (CsvFile uses native/libdftpu.so when built)."""
+        return arrow_to_table(self._read_arrow(cols))
+
     def scan(self, projection=None, filters=None, limit=None, table_name="") -> ExecutionPlan:
         schema = self.schema()
         if self._cache is None:
             cols = None
             if projection is not None:
                 cols = [schema.fields[i].name for i in projection]
-            at = self._read_arrow(cols)
-            t = arrow_to_table(at)
+            t = self._load_table(cols)
             if projection is not None and self._cache_proj != tuple(schema.names()):
                 # cache only the projected subset; a later wider scan re-reads
                 self._cache = t
@@ -78,8 +82,7 @@ class _FileTable(TableProvider):
         if all(n in self._cache.names for n in want):
             sub = self._cache.select(want)
             return MemoryExec(sub, sub.schema(), None)
-        at = self._read_arrow(None)
-        self._cache = arrow_to_table(at)
+        self._cache = self._load_table(None)
         self._cache_proj = tuple(self._cache.names)
         sub = self._cache.select(want)
         return MemoryExec(sub, sub.schema(), None)
@@ -120,6 +123,24 @@ class CsvFile(_FileTable):
 
     def schema(self) -> Schema:
         return self._schema
+
+    def _load_table(self, cols):
+        """Native C++ loader fast path (native/dftpu_native.cpp); falls back
+        to pyarrow for unsupported types or when the lib is not built."""
+        from .. import native_lib
+
+        parts = []
+        for p in self.paths:
+            t = native_lib.load_csv(
+                p, self._schema, delimiter=self.delimiter, has_header=self.has_header
+            )
+            if t is None:
+                return super()._load_table(cols)
+            parts.append(t)
+        full = parts[0] if len(parts) == 1 else concat_tables(parts, self._schema)
+        if cols is not None:
+            full = full.select(cols)
+        return full
 
     def _read_arrow(self, columns):
         import pyarrow as pa

@@ -252,10 +252,18 @@ class ShuffleWriterExec(ExecutionPlan):
             (np.asarray(c.data[: t.nrows]), np.asarray(c.valid[: t.nrows]), c.dtype, c.dictionary)
             for c in t.columns
         ]
-        order = np.argsort(buckets, kind="stable")
-        sorted_buckets = buckets[order]
-        starts = np.searchsorted(sorted_buckets, np.arange(m))
-        ends = np.searchsorted(sorted_buckets, np.arange(m), side="right")
+        # bucket permutation: native counting sort when built, else argsort
+        from .. import native_lib
+
+        native = native_lib.partition_order(buckets.astype(np.uint64), m)
+        if native is not None:
+            order, starts_n = native
+            starts, ends = starts_n[:m], starts_n[1:]
+        else:
+            order = np.argsort(buckets, kind="stable")
+            sorted_buckets = buckets[order]
+            starts = np.searchsorted(sorted_buckets, np.arange(m))
+            ends = np.searchsorted(sorted_buckets, np.arange(m), side="right")
         for p in range(m):
             idx = order[starts[p] : ends[p]]
             n = len(idx)

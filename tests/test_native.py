@@ -1,0 +1,132 @@
+"""Native host runtime (native/libdftpu.so): C++ CSV/TBL loader and shuffle
+partitioner vs the pure-Python reference implementations."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from datafusion_tpu import native_lib
+from datafusion_tpu.types import Field, Schema
+from datafusion_tpu.types.dtypes import (
+    BOOL,
+    DATE32,
+    FLOAT64,
+    INT64,
+    STRING,
+    TIMESTAMP_US,
+    decimal,
+)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    l = native_lib.get_lib()
+    assert l is not None, "native library must build in this environment"
+    return l
+
+
+def test_native_csv_all_types(lib, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "t.csv"
+    p.write_text(
+        "i,f,d,dec,b,s,ts\n"
+        "1,1.5,1995-01-27,12.34,true,alpha,2021-03-04 05:06:07\n"
+        "-7,-0.25,1970-01-01,-0.005,false,beta,1970-01-01 00:00:00\n"
+        ",,,,,,\n"  # all nulls
+        '42,3e2,2000-02-29,999.999,1,"with,comma",2021-03-04T05:06:07.250000\n'
+    )
+    schema = Schema(
+        [
+            Field("i", INT64),
+            Field("f", FLOAT64),
+            Field("d", DATE32),
+            Field("dec", decimal(10, 2)),
+            Field("b", BOOL),
+            Field("s", STRING),
+            Field("ts", TIMESTAMP_US),
+        ]
+    )
+    t = native_lib.load_csv(str(p), schema)
+    assert t is not None and t.nrows == 4
+    d = t.to_pydict()
+    assert d["i"] == [1, -7, None, 42]
+    assert d["f"] == [1.5, -0.25, None, 300.0]
+    import datetime as dt
+
+    assert d["d"] == [dt.date(1995, 1, 27), dt.date(1970, 1, 1), None, dt.date(2000, 2, 29)]
+    # decimal(10,2): 12.34 -> 1234; -0.005 rounds half-away to -0.01 -> -1;
+    # 999.999 -> 1000.00
+    assert d["dec"] == [12.34, -0.01, None, 1000.0]
+    assert d["b"] == [True, False, None, True]
+    assert d["s"] == ["alpha", "beta", None, "with,comma"]
+    assert d["ts"][0] == dt.datetime(2021, 3, 4, 5, 6, 7)
+    assert d["ts"][3] == dt.datetime(2021, 3, 4, 5, 6, 7, 250000)
+
+
+def test_native_csv_matches_pyarrow(lib, tmp_path_factory):
+    """Native loader and the pyarrow fallback ingest identical tables."""
+    rng = np.random.default_rng(0)
+    n = 1000
+    ints = rng.integers(-10**9, 10**9, n)
+    floats = np.round(rng.normal(size=n), 6)
+    strs = [f"val{int(i)}" for i in rng.integers(0, 50, n)]
+    p = tmp_path_factory.mktemp("csv") / "big.csv"
+    with open(p, "w") as f:
+        f.write("a,b,c\n")
+        for i in range(n):
+            f.write(f"{ints[i]},{floats[i]},{strs[i]}\n")
+    schema = Schema([Field("a", INT64), Field("b", FLOAT64), Field("c", STRING)])
+
+    t_native = native_lib.load_csv(str(p), schema)
+    from datafusion_tpu.columnar.ingest import arrow_to_table
+    from datafusion_tpu.datasource.files import CsvFile
+
+    csv = CsvFile(str(p), schema=schema)
+    t_arrow = arrow_to_table(csv._read_arrow(None))  # the pyarrow fallback
+    assert t_native.to_pydict() == t_arrow.to_pydict()
+
+
+def test_native_tbl_trailing_delimiter(lib, tmp_path_factory):
+    """TPC-H .tbl style: '|' delimited with trailing delimiter, no header."""
+    p = tmp_path_factory.mktemp("tbl") / "r.tbl"
+    p.write_text("0|AFRICA|x|\n1|AMERICA|y|\n")
+    schema = Schema([Field("r_regionkey", INT64), Field("r_name", STRING), Field("r_comment", STRING)])
+    t = native_lib.load_csv(str(p), schema, delimiter="|", has_header=False)
+    assert t is not None
+    assert t.to_pydict() == {
+        "r_regionkey": [0, 1],
+        "r_name": ["AFRICA", "AMERICA"],
+        "r_comment": ["x", "y"],
+    }
+
+
+def test_native_partition_matches_numpy(lib):
+    rng = np.random.default_rng(1)
+    h = rng.integers(0, 2**63, 10000).astype(np.uint64)
+    m = 7
+    order, starts = native_lib.partition_order(h, m)
+    ref_order = np.argsort(h % m, kind="stable")
+    assert np.array_equal(order, ref_order)
+    buckets = (h % m)[order]
+    assert np.all(np.diff(buckets) >= 0)
+    for p in range(m):
+        assert starts[p + 1] - starts[p] == int(np.sum(h % m == p))
+
+
+def test_csv_datasource_uses_native(tmp_path_factory):
+    """End-to-end: registering a CSV goes through the native loader and
+    queries return correct results."""
+    import jax
+
+    from datafusion_tpu import ExecutionContext
+
+    p = tmp_path_factory.mktemp("csv") / "sales.csv"
+    p.write_text("region,amount\neast,10\nwest,20\neast,5\n")
+    ctx = ExecutionContext()
+    ctx.register_csv("sales", str(p))
+    out = ctx.sql(
+        "SELECT region, sum(amount) AS s FROM sales GROUP BY region ORDER BY region"
+    ).collect()
+    assert out.to_pydict() == {"region": ["east", "west"], "s": [15, 20]}
