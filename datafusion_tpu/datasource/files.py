@@ -29,6 +29,29 @@ from ..types import Field, Schema
 from .datasource import Statistics, TableProvider
 
 
+def _plain_stat(v, dtype):
+    """Normalize a parquet stat value to the engine's comparison domain."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, _dt.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if dtype.is_decimal:
+        try:
+            return int(round(float(v) * 10**dtype.scale))
+        except (TypeError, ValueError):
+            return None
+    return v
+
+
 def _expand_paths(path: str, exts: tuple[str, ...]) -> list[str]:
     if os.path.isdir(path):
         out = []
@@ -211,6 +234,86 @@ class ParquetTable(_FileTable):
 
         tables = [pq.read_table(p, columns=columns) for p in self.paths]
         return pa.concat_tables(tables)
+
+    def supports_filter_pushdown(self, expr) -> str:
+        return "inexact"  # row-group pruning; rows still re-filtered
+
+    # ---- row-group pruning (reference parquet.rs:817 read_files +
+    # physical_optimizer/pruning.rs) -------------------------------------
+    def _row_group_stats(self):
+        """(ContainerStats, [(path, rg_index)]) over all files' row groups."""
+        import pyarrow.parquet as pq
+
+        from ..physical.pruning import ContainerStats
+
+        groups = []
+        metas = []
+        for p in self.paths:
+            md = pq.ParquetFile(p).metadata
+            for i in range(md.num_row_groups):
+                groups.append((p, i))
+                metas.append(md.row_group(i))
+        stats = ContainerStats(len(groups))
+        for ci, f in enumerate(self._schema.fields):
+            mins, maxs, ncs, known = [], [], [], []
+            for rg in metas:
+                col = rg.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    mins.append(None)
+                    maxs.append(None)
+                    ncs.append(st.null_count if st is not None else None)
+                    known.append(False)
+                else:
+                    mins.append(_plain_stat(st.min, f.dtype))
+                    maxs.append(_plain_stat(st.max, f.dtype))
+                    ncs.append(st.null_count)
+                    known.append(True)
+            stats.set_column(f.name, mins, maxs, ncs, known)
+        return stats, groups
+
+    def scan(self, projection=None, filters=None, limit=None, table_name="") -> ExecutionPlan:
+        if filters:
+            from ..physical.pruning import PruningPredicate
+
+            try:
+                stats, groups = self._row_group_stats()
+                keep = PruningPredicate(list(filters)).prune(stats)
+            except Exception:
+                keep = None
+            if keep is not None and not keep.all():
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                cols = (
+                    [self._schema.fields[i].name for i in projection]
+                    if projection is not None
+                    else None
+                )
+                parts = []
+                by_path: dict[str, list[int]] = {}
+                for (p, i), k in zip(groups, keep):
+                    if k:
+                        by_path.setdefault(p, []).append(i)
+                for p, idxs in by_path.items():
+                    f = pq.ParquetFile(p)
+                    parts.append(f.read_row_groups(idxs, columns=cols))
+                if parts:
+                    t = arrow_to_table(pa.concat_tables(parts))
+                else:
+                    sch = (
+                        self._schema
+                        if projection is None
+                        else Schema([self._schema.fields[i] for i in projection])
+                    )
+                    t = Table.empty(sch)
+                ex = MemoryExec(t, t.schema(), None, table_name=table_name)
+                ex.metrics.counter("row_groups_pruned").add(
+                    int(len(groups) - keep.sum())
+                )
+                ex.metrics.counter("row_groups_matched").add(int(keep.sum()))
+                return ex
+        return super().scan(projection, filters, limit, table_name)
 
 
 class NdJsonFile(_FileTable):

@@ -68,9 +68,11 @@ class ExecutionConfig:
 def default_optimizer_rules() -> list:
     """Default logical pipeline (mirrors context.rs:685-695's list, adapted:
     decorrelation + cross-join elimination are load-bearing here)."""
+    from ..optimizer.aggregate_statistics import AggregateStatistics
     from ..optimizer.constant_folding import ConstantFolding
     from ..optimizer.decorrelate import DecorrelateSubqueries
     from ..optimizer.filter_pushdown import FilterPushDown
+    from ..optimizer.hash_build_probe_order import HashBuildProbeOrder
     from ..optimizer.join_reorder import EliminateCrossJoins
     from ..optimizer.limit_pushdown import EliminateLimit, LimitPushDown
     from ..optimizer.projection_pushdown import ProjectionPushDown
@@ -87,6 +89,8 @@ def default_optimizer_rules() -> list:
         SimplifyExpressions(),
         FilterPushDown(),
         ProjectionPushDown(),
+        AggregateStatistics(),
+        HashBuildProbeOrder(),
         EliminateLimit(),
         LimitPushDown(),
     ]

@@ -1,0 +1,145 @@
+"""AggregateStatistics, HashBuildProbeOrder, and parquet row-group pruning
+(reference: optimizer/aggregate_statistics.rs, hash_build_probe_order.rs,
+physical_optimizer/pruning.rs + tests/parquet_pruning.rs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datafusion_tpu import ExecutionContext
+from datafusion_tpu.columnar import Table
+from datafusion_tpu.logical import plan as L
+
+
+def _optimized(ctx, sql):
+    return ctx.optimize(ctx.create_logical_plan(sql))
+
+
+def test_count_star_from_statistics():
+    ctx = ExecutionContext()
+    ctx.register_table("t", Table.from_pydict({"a": list(range(100))}))
+    plan = _optimized(ctx, "SELECT count(*) FROM t")
+    # rewritten: no TableScan (and thus no Aggregate) remains
+    def has_scan(p):
+        if isinstance(p, L.TableScan):
+            return True
+        return any(has_scan(i) for i in p.inputs())
+
+    assert not has_scan(plan)
+    out = ctx.sql("SELECT count(*) FROM t").collect()
+    assert out.to_pydict() == {"COUNT(*)": [100]}
+
+
+def test_count_star_with_filter_not_rewritten():
+    ctx = ExecutionContext()
+    ctx.register_table("t", Table.from_pydict({"a": list(range(100))}))
+    out = ctx.sql("SELECT count(*) FROM t WHERE a < 10").collect()
+    assert list(out.to_pydict().values()) == [[10]]
+
+
+def test_build_probe_order_swaps_smaller_left():
+    ctx = ExecutionContext()
+    ctx.register_table("small", Table.from_pydict({"k": [1, 2, 3], "x": [1, 2, 3]}))
+    ctx.register_table(
+        "big", Table.from_pydict({"k": list(range(100)), "y": list(range(100))})
+    )
+    plan = _optimized(
+        ctx, "SELECT small.x, big.y FROM small JOIN big ON small.k = big.k"
+    )
+
+    def find_join(p):
+        if isinstance(p, L.Join):
+            return p
+        for i in p.inputs():
+            j = find_join(i)
+            if j is not None:
+                return j
+        return None
+
+    j = find_join(plan)
+    assert j is not None
+    # build side (right) must be the smaller table after the rule
+    def scans(p):
+        if isinstance(p, L.TableScan):
+            yield p.table_name
+        for i in p.inputs():
+            yield from scans(i)
+
+    assert "small" in list(scans(j.right))
+    # result columns stay in the original order and values correct
+    out = ctx.sql(
+        "SELECT small.x, big.y FROM small JOIN big ON small.k = big.k ORDER BY small.x"
+    ).collect()
+    assert out.to_pydict() == {"x": [1, 2, 3], "y": [1, 2, 3]}
+
+
+# ---------------------------------------------------------------------------
+# pruning
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def parquet_file(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 4 row groups of 100 rows with disjoint ranges of `a`
+    tbl = pa.table(
+        {
+            "a": list(range(400)),
+            "s": [f"v{i//100}" for i in range(400)],
+        }
+    )
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, p, row_group_size=100)
+    return str(p)
+
+
+def test_parquet_row_group_pruning(parquet_file):
+    ctx = ExecutionContext()
+    ctx.register_parquet("t", parquet_file)
+    out = ctx.sql("SELECT count(*) AS c FROM t WHERE a >= 350").collect()
+    assert out.to_pydict() == {"c": [50]}
+    # direct check through the pruning API
+    prov = ctx._resolve_table("t")
+    from datafusion_tpu.logical.expr import BinaryExpr, Column, Literal
+    from datafusion_tpu.types import ScalarValue
+
+    f = BinaryExpr(Column("a"), ">=", Literal(ScalarValue.int64(350)))
+    stats, groups = prov._row_group_stats()
+    from datafusion_tpu.physical.pruning import PruningPredicate
+
+    keep = PruningPredicate([f]).prune(stats)
+    assert keep.tolist() == [False, False, False, True]
+
+
+def test_pruning_string_and_inlist(parquet_file):
+    from datafusion_tpu.logical.expr import BinaryExpr, Column, InList, Literal
+    from datafusion_tpu.physical.pruning import PruningPredicate
+    from datafusion_tpu.types import ScalarValue
+
+    ctx = ExecutionContext()
+    ctx.register_parquet("t", parquet_file)
+    prov = ctx._resolve_table("t")
+    stats, _ = prov._row_group_stats()
+
+    eq = BinaryExpr(Column("s"), "=", Literal(ScalarValue.utf8("v2")))
+    assert PruningPredicate([eq]).prune(stats).tolist() == [False, False, True, False]
+
+    il = InList(
+        Column("a"),
+        [Literal(ScalarValue.int64(5)), Literal(ScalarValue.int64(305))],
+        False,
+    )
+    assert PruningPredicate([il]).prune(stats).tolist() == [True, False, False, True]
+
+
+def test_pruning_unknown_stats_keeps_all():
+    from datafusion_tpu.logical.expr import BinaryExpr, Column, Literal
+    from datafusion_tpu.physical.pruning import ContainerStats, PruningPredicate
+    from datafusion_tpu.types import ScalarValue
+
+    stats = ContainerStats(3)  # no column stats at all
+    f = BinaryExpr(Column("a"), "<", Literal(ScalarValue.int64(0)))
+    assert PruningPredicate([f]).prune(stats).tolist() == [True, True, True]
