@@ -8,12 +8,22 @@ the compiler fuses expression evaluation into the reductions and the host
 dispatches once per stage (SURVEY.md §7: "a host-side Python driver walks
 the physical plan and dispatches jitted stage functions").
 
-Also implements the small-domain GROUP BY fast path: when every group key is
-a dictionary/bool column whose domain product is small (TPC-H Q1's
-returnflag x linestatus = 6), group ids come from direct radix arithmetic
-(key_i * stride_i) with num_segments = domain product — no sort at all,
-just segment reductions (the analogue of the reference's
-GroupByScalar-on-small-keys specialization).
+TPU performance rules baked into this trace (measured on v5e; see
+bench/MICRO.md):
+  * NO scatters on the hot path.  A cap-sized scatter (compaction, or
+    segment_sum with num_segments=cap) costs 0.5-0.8 s at 8M rows; the
+    whole stage should run in ~10 ms.
+  * Filters do NOT compact.  The predicate folds into a row-validity mask
+    carried to the aggregate; elementwise work on dead lanes is free
+    (VPU is bandwidth-bound).  Compaction happens at most ONCE, at stage
+    exit, via stable argsort(~alive) + gather (5x cheaper than
+    scatter-compact) — and not at all when the stage ends in an aggregate.
+  * Small-domain GROUP BY (dictionary/bool keys, domain <= 256 — TPC-H
+    Q1's returnflag x linestatus = 12) lowers to a fused [domain, N]
+    masked broadcast-reduction per aggregate: XLA fuses the compare +
+    select + reduce into a single pass over the column, so each aggregate
+    costs one read of the data.  No sort, no scatter, MXU/VPU-friendly.
+  * No-group aggregates are plain masked reductions.
 
 Stage boundaries: joins and sorts with data-dependent output capacities
 stay host-driven; everything between them fuses.
@@ -21,18 +31,17 @@ stay host-driven; everything between them fuses.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..columnar.column import Column
 from ..columnar.table import Table, round_capacity
-from ..errors import InternalError
+from ..errors import InternalError, PlanError
 from ..ops import kernels as K
 from ..ops.aggregate import (
     HashAggregateExec,
+    PhysAggExpr,
     _eval_aggregate,
     _group_rows,
     _merge_aggregate,
@@ -40,9 +49,11 @@ from ..ops.aggregate import (
 )
 from ..ops.base import ExecutionPlan
 from ..ops.basic import FilterExec, MemoryExec, ProjectionExec
-from ..ops.sort import SortExec
+from ..types.dtypes import FLOAT64, INT64
 
-SMALL_DOMAIN_LIMIT = 4096
+# domain limit for the fused [domain, N] reduction path; beyond this the
+# [D, N] virtual compare grid gets compute-heavy and the sort path wins
+FUSED_DOMAIN_LIMIT = 256
 
 
 def compilable(plan: ExecutionPlan) -> bool:
@@ -144,23 +155,16 @@ class CompiledStage:
         cur_d = list(datas)
         cur_v = list(valids)
         cap = cur_d[0].shape[0] if cur_d else 0
+        alive = jnp.arange(cap) < nrows
+        aggregated = False
         n = nrows
 
         for op in self.chain:
             if isinstance(op, FilterExec):
                 view = self._table_view(cur_d, cur_v, t)
                 p = op.predicate.evaluate(view)
-                keep = p.data.astype(bool) & p.valid & (jnp.arange(cap) < n)
-                pos = jnp.cumsum(keep) - 1
-                tgt = jnp.where(keep, pos, cap)
-                cur_d = [
-                    jnp.zeros_like(d).at[tgt].set(d, mode="drop") for d in cur_d
-                ]
-                cur_v = [
-                    jnp.zeros_like(v).at[tgt].set(v & keep, mode="drop")
-                    for v in cur_v
-                ]
-                n = jnp.sum(keep)
+                # no compaction: fold the predicate into the row mask
+                alive = alive & p.data.astype(bool) & p.valid
             elif isinstance(op, ProjectionExec):
                 view = self._table_view(cur_d, cur_v, t)
                 outs = [e.evaluate(view) for e, _ in op.exprs]
@@ -169,14 +173,26 @@ class CompiledStage:
                 t = Table([nm for _, nm in op.exprs], outs, 0)
             elif isinstance(op, HashAggregateExec):
                 view = self._table_view(cur_d, cur_v, t)
-                cur_d, cur_v, n = _traced_aggregate(op, view, n, cap)
+                cur_d, cur_v, n = _traced_aggregate(op, view, alive, cap)
+                aggregated = True
             else:  # pragma: no cover
                 raise InternalError(f"unfusable op {type(op).__name__}")
+
+        if not aggregated:
+            # one compaction at stage exit: stable sort of the mask +
+            # gathers (never a scatter)
+            n = jnp.sum(alive)
+            order = jnp.argsort(~alive, stable=True)
+            live_sorted = jnp.arange(cap) < n
+            cur_d = [d[order] for d in cur_d]
+            cur_v = [v[order] & live_sorted for v in cur_v]
         return tuple(cur_d), tuple(cur_v), n
 
 
-def _small_domain(key_cols) -> int | None:
+def _small_domain(key_cols, aggr_expr) -> int | None:
     """Total direct-index domain if all keys are small dictionary/bool."""
+    if any(a.distinct for a in aggr_expr):
+        return None  # distinct needs the sort path
     total = 1
     for c in key_cols:
         if c.dtype.is_string and c.dictionary is not None:
@@ -185,85 +201,44 @@ def _small_domain(key_cols) -> int | None:
             total *= 3
         else:
             return None
-        if total > SMALL_DOMAIN_LIMIT:
+        if total > FUSED_DOMAIN_LIMIT:
             return None
     return total
 
 
-def _traced_aggregate(op: HashAggregateExec, t: Table, nrows, cap):
+def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap):
     key_cols = [e.evaluate(t) for e, _ in op.group_expr]
-    alive = jnp.arange(cap) < nrows
+    emit_state = op.mode == "partial"
 
-    domain = _small_domain(key_cols) if key_cols else None
-    if domain is not None:
-        # direct-index grouping: gid = sum(code_i * stride_i); groups then
-        # compacted to the front in key-sorted order (codes are sorted
-        # dictionary indices, so arithmetic order == lexicographic order)
-        gid = jnp.zeros(cap, jnp.int32)
-        stride = 1
-        for c in reversed(key_cols):
-            base = max(len(c.dictionary), 1) + 1 if c.dtype.is_string else 3
-            code = jnp.where(c.valid, c.data.astype(jnp.int32) + 1, 0)
-            gid = gid + code * stride
-            stride *= base
-        gid = jnp.where(alive, gid, domain)
-        occupied = jnp.zeros(domain + 1, bool).at[gid].set(alive, mode="drop")[
-            :domain
-        ]
-        # dense rank of occupied slots; compact groups to the front
-        dense = jnp.cumsum(occupied) - 1
-        ngroups = jnp.sum(occupied)
-        out_gid = jnp.where(
-            alive, dense[jnp.clip(gid, 0, domain - 1)], cap - 1
-        )
-        # representative row per group slot
-        first_idx = (
-            jnp.full(domain, cap - 1, jnp.int32)
-            .at[jnp.clip(gid, 0, domain - 1)]
-            .min(jnp.where(alive, jnp.arange(cap, dtype=jnp.int32), cap - 1), mode="drop")
-        )
-        # gather group keys into compacted group order
-        slot_of_group = (
-            jnp.full(domain, 0, jnp.int32)
-            .at[jnp.clip(dense, 0, domain - 1)]
-            .max(jnp.where(occupied, jnp.arange(domain, dtype=jnp.int32), 0), mode="drop")
-        )
-        # first row index per *compacted* group
-        first_per_group = first_idx[
-            jnp.clip(slot_of_group, 0, domain - 1)
-        ]
+    # ---- no group keys: plain masked reductions --------------------------
+    if not key_cols:
+        out_cap = round_capacity(1)  # static shrink: 1 output row
         out_d, out_v = [], []
-        gvalid_row = jnp.arange(cap) < ngroups
-        src = jnp.clip(first_per_group, 0, cap - 1)
-        for c in key_cols:
-            out_d.append(_pad_to(c.data[src], cap, c.data.dtype))
-            out_v.append(_pad_to(c.valid[src], cap, jnp.bool_) & gvalid_row)
-        identity = jnp.arange(cap)
         for a in op.aggr_expr:
-            cols = _eval_aggregate(
-                a,
-                t,
-                identity,
-                out_gid,
-                cap,
-                alive,
-                ngroups,
-                emit_state=(op.mode == "partial"),
-            )
+            cols = _eval_aggregate_nogroup(a, t, alive, out_cap, emit_state)
             for c in cols:
                 out_d.append(c.data)
                 out_v.append(c.valid)
-        return out_d, out_v, ngroups
+        return out_d, out_v, jnp.int64(1)
 
-    # general path: sort-based grouping (same as HashAggregateExec, traced)
-    if key_cols:
-        perm, gid, ngroups, sorted_keys = _group_rows(key_cols, nrows)
-    else:
-        perm = jnp.arange(cap)
-        gid = jnp.where(alive, 0, cap - 1)
-        ngroups = jnp.int64(1)
-        sorted_keys = []
-    alive_sorted = jnp.arange(cap) < nrows
+    domain = _small_domain(key_cols, op.aggr_expr)
+    if domain is not None:
+        return _fused_small_domain_aggregate(
+            op, t, key_cols, domain, alive, cap, emit_state
+        )
+
+    # ---- general path: compact once (argsort+gather), then sort-group ----
+    n = jnp.sum(alive)
+    order = jnp.argsort(~alive, stable=True)
+    live_sorted = jnp.arange(cap) < n
+    comp_cols = [
+        Column(c.dtype, c.data[order], c.valid[order] & live_sorted, c.dictionary)
+        for c in t.columns
+    ]
+    tc = Table(list(t.names), comp_cols, 0)
+    key_cols = [e.evaluate(tc) for e, _ in op.group_expr]
+    perm, gid, ngroups, sorted_keys = _group_rows(key_cols, n)
+    alive_sorted = live_sorted
     out_d, out_v = [], []
     for kc, (skd, skv) in zip(key_cols, sorted_keys):
         fi = _segment_first_index(gid, cap, alive_sorted)
@@ -271,13 +246,259 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, nrows, cap):
         out_v.append(skv[fi] & (jnp.arange(cap) < ngroups))
     for a in op.aggr_expr:
         cols = _eval_aggregate(
-            a, t, perm, gid, cap, alive_sorted, ngroups,
-            emit_state=(op.mode == "partial"),
+            a, tc, perm, gid, cap, alive_sorted, ngroups, emit_state=emit_state
         )
         for c in cols:
             out_d.append(c.data)
             out_v.append(c.valid)
     return out_d, out_v, ngroups
+
+
+# ---------------------------------------------------------------------------
+# fused small-domain path: one [domain, N] masked reduce per aggregate
+# ---------------------------------------------------------------------------
+
+
+def _fused_small_domain_aggregate(op, t, key_cols, domain, alive, cap, emit_state):
+    # slot id per row: sum(code_i * stride_i); codes are sorted dictionary
+    # indices, so arithmetic order == lexicographic group order.  Dead rows
+    # get slot `domain` (outside every compare row).
+    gid = jnp.zeros(cap, jnp.int32)
+    stride = 1
+    for c in reversed(key_cols):
+        base = max(len(c.dictionary), 1) + 1 if c.dtype.is_string else 3
+        code = jnp.where(c.valid, c.data.astype(jnp.int32) + 1, 0)
+        gid = gid + code * stride
+        stride *= base
+    gid = jnp.where(alive, gid, domain)
+
+    slots = jnp.arange(domain, dtype=jnp.int32)
+    hit = gid[None, :] == slots[:, None]  # [D, N] — fused into each reduce
+
+    counts = jnp.sum(hit, axis=1)  # rows per slot
+    present = counts > 0
+    dense = jnp.cumsum(present.astype(jnp.int32)) - 1  # compacted group id
+    ngroups = jnp.sum(present).astype(jnp.int64)
+
+    # slot of each compacted group (tiny domain-sized scatter)
+    slot_of_group = (
+        jnp.zeros(domain, jnp.int32)
+        .at[jnp.clip(dense, 0, domain - 1)]
+        .max(jnp.where(present, slots, 0), mode="drop")
+    )
+
+    # representative (first) row per slot -> per compacted group
+    ar = jnp.arange(cap, dtype=jnp.int32)
+    first_idx = jnp.min(jnp.where(hit, ar[None, :], cap - 1), axis=1)  # [D]
+    first_per_group = first_idx[slot_of_group]
+
+    # static in-trace shrink: at most `domain` groups can exist, so emit
+    # small buffers — downstream sort/projection then touch KBs, not GBs
+    out_cap = min(cap, round_capacity(domain))
+    gvalid_row = jnp.arange(out_cap) < ngroups
+    out_d, out_v = [], []
+    src = jnp.clip(first_per_group, 0, cap - 1)
+    for c in key_cols:
+        out_d.append(_pad_to(c.data[src], out_cap, c.data.dtype))
+        out_v.append(_pad_to(c.valid[src], out_cap, jnp.bool_) & gvalid_row)
+
+    for a in op.aggr_expr:
+        for data, valid in _eval_aggregate_slots(a, t, hit, emit_state):
+            # reorder [D] slot values into compacted group order, pad out
+            out_d.append(_pad_to(data[slot_of_group], out_cap, data.dtype))
+            out_v.append(_pad_to(valid[slot_of_group], out_cap, jnp.bool_) & gvalid_row)
+    return out_d, out_v, ngroups
+
+
+def _masked_reduce_sum(hit, vals, zero):
+    return jnp.sum(jnp.where(hit, vals[None, :], zero), axis=1)
+
+
+def _eval_aggregate_slots(a: PhysAggExpr, t: Table, hit, emit_state):
+    """Per-slot ([D]-shaped) aggregate values as (data, valid) pairs."""
+    f = a.fun
+
+    if a.expr is None:  # COUNT(*)
+        cnt = jnp.sum(hit, axis=1).astype(jnp.int64)
+        return [(cnt, jnp.ones_like(cnt, bool))]
+
+    v = a.expr.evaluate(t)
+    vv = hit & v.valid[None, :]  # [D, N] valid-and-in-slot
+    cnt = jnp.sum(vv, axis=1).astype(jnp.int64)
+    has = cnt > 0
+
+    if f == "count":
+        return [(cnt, jnp.ones_like(cnt, bool))]
+
+    if f == "sum":
+        rt = a.return_type()
+        acc = v.data.astype(rt.storage_np_dtype())
+        s = jnp.sum(jnp.where(vv, acc[None, :], acc.dtype.type(0)), axis=1)
+        if emit_state:
+            return [(s, has), (cnt, jnp.ones_like(cnt, bool))]
+        return [(s, has)]
+
+    if f in ("min", "max"):
+        t_in = v.dtype
+        if t_in.is_float:
+            neutral = jnp.inf if f == "min" else -jnp.inf
+            vals = jnp.where(vv, v.data[None, :], neutral)
+            red = jnp.min(vals, axis=1) if f == "min" else jnp.max(vals, axis=1)
+            out = red.astype(t_in.storage_np_dtype())
+        else:
+            ordk = K.orderable_key(v.data, t_in)
+            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            vals = jnp.where(vv, ordk[None, :], big)
+            red = jnp.min(vals, axis=1) if f == "min" else jnp.max(vals, axis=1)
+            out = red.astype(t_in.storage_np_dtype())
+        if emit_state:
+            return [(out, has), (cnt, jnp.ones_like(cnt, bool))]
+        return [(out, has)]
+
+    if f == "avg":
+        fd = _slot_float(v)
+        s = jnp.sum(jnp.where(vv, fd[None, :], 0.0), axis=1)
+        if emit_state:
+            return [(s, jnp.ones_like(has)), (cnt, jnp.ones_like(cnt, bool))]
+        mean = s / jnp.maximum(cnt, 1)
+        return [(mean, has)]
+
+    if f in ("variance", "var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop"):
+        fd = _slot_float(v)
+        s = jnp.sum(jnp.where(vv, fd[None, :], 0.0), axis=1)
+        ss = jnp.sum(jnp.where(vv, (fd * fd)[None, :], 0.0), axis=1)
+        if emit_state:
+            ones = jnp.ones_like(has)
+            return [(cnt, ones), (s, ones), (ss, ones)]
+        nf = cnt.astype(jnp.float64)
+        mean = s / jnp.maximum(nf, 1.0)
+        m2 = jnp.maximum(ss - nf * mean * mean, 0.0)
+        pop = f.endswith("_pop")
+        denom = jnp.maximum(nf if pop else nf - 1.0, 1.0)
+        var = m2 / denom
+        out = jnp.sqrt(var) if f.startswith("stddev") else var
+        min_n = 1 if pop else 2
+        return [(out, cnt >= min_n)]
+
+    raise PlanError(f"aggregate '{f}' not implemented in fused path")
+
+
+def _eval_aggregate_nogroup(a: PhysAggExpr, t: Table, alive, out_cap, emit_state):
+    """Aggregate over ALL live rows -> 1 output row (padded to out_cap)."""
+    f = a.fun
+
+    def one(x, valid_scalar, dtype):
+        data = jnp.zeros(out_cap, dtype).at[0].set(x.astype(dtype))
+        valid = jnp.zeros(out_cap, bool).at[0].set(valid_scalar)
+        return Column(None, data, valid)  # dtype unused by caller
+
+    if a.distinct:
+        # sort-based distinct over the mask (rare; COUNT(DISTINCT x))
+        return _eval_aggregate_nogroup_distinct(a, t, alive, out_cap, emit_state)
+
+    if a.expr is None:
+        cnt = jnp.sum(alive).astype(jnp.int64)
+        return [one(cnt, True, jnp.int64)]
+
+    v = a.expr.evaluate(t)
+    m = alive & v.valid
+    cnt = jnp.sum(m).astype(jnp.int64)
+    has = cnt > 0
+
+    if f == "count":
+        return [one(cnt, True, jnp.int64)]
+    if f == "sum":
+        rt = a.return_type()
+        dt = rt.storage_np_dtype()
+        s = jnp.sum(jnp.where(m, v.data.astype(dt), dt.type(0)))
+        if emit_state:
+            return [one(s, has, dt), one(cnt, True, jnp.int64)]
+        return [one(s, has, dt)]
+    if f in ("min", "max"):
+        t_in = v.dtype
+        dt = t_in.storage_np_dtype()
+        if t_in.is_float:
+            neutral = jnp.inf if f == "min" else -jnp.inf
+            red = (jnp.min if f == "min" else jnp.max)(jnp.where(m, v.data, neutral))
+        else:
+            ordk = K.orderable_key(v.data, t_in)
+            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            red = (jnp.min if f == "min" else jnp.max)(jnp.where(m, ordk, big))
+        if emit_state:
+            return [one(red.astype(dt), has, dt), one(cnt, True, jnp.int64)]
+        return [one(red.astype(dt), has, dt)]
+    if f == "avg":
+        fd = _slot_float(v)
+        s = jnp.sum(jnp.where(m, fd, 0.0))
+        if emit_state:
+            return [one(s, True, jnp.float64), one(cnt, True, jnp.int64)]
+        return [one(s / jnp.maximum(cnt, 1), has, jnp.float64)]
+    if f in ("variance", "var", "var_samp", "var_pop", "stddev", "stddev_samp", "stddev_pop"):
+        fd = _slot_float(v)
+        s = jnp.sum(jnp.where(m, fd, 0.0))
+        ss = jnp.sum(jnp.where(m, fd * fd, 0.0))
+        if emit_state:
+            return [
+                one(cnt, True, jnp.int64),
+                one(s, True, jnp.float64),
+                one(ss, True, jnp.float64),
+            ]
+        nf = cnt.astype(jnp.float64)
+        mean = s / jnp.maximum(nf, 1.0)
+        m2 = jnp.maximum(ss - nf * mean * mean, 0.0)
+        pop = f.endswith("_pop")
+        var = m2 / jnp.maximum(nf if pop else nf - 1.0, 1.0)
+        out = jnp.sqrt(var) if f.startswith("stddev") else var
+        min_n = 1 if pop else 2
+        return [one(out, cnt >= min_n, jnp.float64)]
+    raise PlanError(f"aggregate '{f}' not implemented in fused path")
+
+
+def _eval_aggregate_nogroup_distinct(a, t, alive, out_cap, emit_state):
+    """COUNT/SUM(DISTINCT x) without groups: sort values, mask duplicates."""
+    v = a.expr.evaluate(t)
+    cap = alive.shape[0]  # input capacity (sort runs over input rows)
+    ordk = K.orderable_key(v.data, v.dtype)
+    m = alive & v.valid
+    sentinel = (
+        jnp.inf if jnp.issubdtype(ordk.dtype, jnp.floating) else jnp.iinfo(jnp.int64).max
+    )
+    keys = jnp.where(m, ordk, sentinel)
+    sk = jnp.sort(keys)
+    live = jnp.arange(cap) < jnp.sum(m)
+    firsts = live & ((jnp.arange(cap) == 0) | (sk != jnp.roll(sk, 1)))
+    cnt = jnp.sum(firsts).astype(jnp.int64)
+    f = a.fun
+
+    def one(x, valid_scalar, dtype):
+        data = jnp.zeros(out_cap, dtype).at[0].set(x.astype(dtype))
+        valid = jnp.zeros(out_cap, bool).at[0].set(valid_scalar)
+        return Column(None, data, valid)
+
+    if f == "count":
+        return [one(cnt, True, jnp.int64)]
+    if f in ("sum", "avg"):
+        rt = a.return_type()
+        dt = rt.storage_np_dtype() if f == "sum" else np.dtype(np.float64)
+        vals = jnp.where(firsts, sk, 0)
+        if f == "avg":
+            s = jnp.sum(vals).astype(jnp.float64)
+            if v.dtype.is_decimal:  # orderable key is the scaled int
+                s = s / (10**v.dtype.scale)
+            return [one(s / jnp.maximum(cnt, 1), cnt > 0, jnp.float64)]
+        s = jnp.sum(vals).astype(dt)
+        return [one(s, cnt > 0, dt)]
+    if f in ("min", "max"):
+        return _eval_aggregate_nogroup(
+            PhysAggExpr(f, a.expr, a.name, False), t, alive, out_cap, emit_state
+        )
+    raise PlanError(f"DISTINCT {f} not supported")
+
+
+def _slot_float(v):
+    if v.dtype.is_decimal:
+        return v.data.astype(jnp.float64) / (10**v.dtype.scale)
+    return v.data.astype(jnp.float64)
 
 
 def _pad_to(x, cap, dtype):
