@@ -223,8 +223,12 @@ class ExecutionContext:
         rules = self.config.physical_optimizer_rules
         if not rules:
             from ..physical.fuse import FuseStages
+            from ..physical.sort_rules import (
+                EliminateRedundantSort,
+                SortedAggregateRule,
+            )
 
-            rules = [FuseStages()]
+            rules = [SortedAggregateRule(), EliminateRedundantSort(), FuseStages()]
         for rule in rules:
             phys = rule.optimize(phys)
         return phys

@@ -77,7 +77,11 @@ class ExecutionPlan:
         raise NotImplementedError
 
     # ---- hints for the planner/optimizer (OptimizerHints, mod.rs:129-139) --
-    def output_sort_order(self) -> list[int] | None:
+    def output_sort_order(self) -> list | None:
+        """[(column_index, ascending, nulls_first), ...] when this operator
+        guarantees its output row order, else None.  Consumed by
+        SortedAggregateRule / EliminateRedundantSort (the fork's
+        compute_aggregation_strategy + OptimizerHints machinery)."""
         return None
 
     # ---- display -------------------------------------------------------------

@@ -49,6 +49,16 @@ class SortExec(ExecutionPlan):
     def with_new_children(self, c):
         return SortExec(self.sort_exprs, c[0], self.fetch)
 
+    def output_sort_order(self):
+        from ..exprs.physical import PhysCol
+
+        out = []
+        for s in self.sort_exprs:
+            if not isinstance(s.expr, PhysCol):
+                return None
+            out.append((s.expr.index, s.ascending, s.nulls_first))
+        return out
+
     def _execute(self) -> Table:
         t = self.input.execute()
         out = sort_table(t, self.sort_exprs)
