@@ -267,11 +267,13 @@ def _group_rows(key_cols, nrows):
 
 
 def _segment_first_index(gid, cap, alive):
-    """Index (into sorted order) of the first row of each segment."""
-    ar = jnp.arange(cap)
-    # scatter-min of row index per gid
-    first = jnp.full(cap, cap - 1, gid.dtype).at[gid].min(jnp.where(alive, ar, cap - 1))
-    return first
+    """Index (into sorted order) of the first row of each segment.
+
+    gid is sorted/dense, so segment s's first row is the s-th boundary
+    position — one stable bool sort, no scatter (entries past the real
+    segment count are garbage; callers mask by ngroups)."""
+    first_pos, _ = K._segment_positions(gid)
+    return first_pos
 
 
 def _prepare_value(col: Column):

@@ -180,24 +180,27 @@ def _gather_pair_table(lt: Table, rt: Table, probe_idx, build_idx, out_cap) -> T
 
 
 def _materialize_pairs(lt: Table, rt: Table, probe_idx, build_idx, ok, out_cap) -> Table:
-    """Compact verified pairs and gather both sides."""
-    pos = jnp.cumsum(ok) - 1
-    target = jnp.where(ok, pos, out_cap)
-    cnt = int(jnp.sum(ok))
+    """Compact verified pairs and gather both sides.
+
+    Compaction by stable argsort(~ok) + index composition — one gather per
+    output column, never a scatter (cap-sized scatters cost ~100x more than
+    gathers on TPU)."""
+    order = jnp.argsort(~ok, stable=True)
+    cnt_dev = jnp.sum(ok)
+    live = jnp.arange(out_cap) < cnt_dev
+    probe_c = probe_idx[order]
+    build_c = build_idx[order]
+    cnt = int(cnt_dev)
     cols = []
     names = []
     for n, c in zip(lt.names, lt.columns):
-        g = c.data[probe_idx]
-        gv = c.valid[probe_idx]
-        d = jnp.zeros(out_cap, c.data.dtype).at[target].set(g, mode="drop")
-        v = jnp.zeros(out_cap, bool).at[target].set(gv & ok, mode="drop")
+        d = c.data[probe_c]
+        v = c.valid[probe_c] & live
         cols.append(Column(c.dtype, d, v, c.dictionary))
         names.append(n)
     for n, c in zip(rt.names, rt.columns):
-        g = c.data[build_idx]
-        gv = c.valid[build_idx]
-        d = jnp.zeros(out_cap, c.data.dtype).at[target].set(g, mode="drop")
-        v = jnp.zeros(out_cap, bool).at[target].set(gv & ok, mode="drop")
+        d = c.data[build_c]
+        v = c.valid[build_c] & live
         cols.append(Column(c.dtype, d, v, c.dictionary))
         names.append(n)
     return Table(names, cols, cnt)

@@ -109,35 +109,37 @@ def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndar
 
 
 @jax.jit
-def _compact_target(keep: jnp.ndarray, nrows: jnp.ndarray):
-    """Scatter destinations for kept rows (cap = dropped)."""
+def _compact_order(keep: jnp.ndarray, nrows: jnp.ndarray):
+    """Gather permutation putting kept rows first (stable)."""
     cap = keep.shape[0]
     alive = jnp.arange(cap) < nrows
     keep = keep & alive
-    pos = jnp.cumsum(keep) - 1
-    target = jnp.where(keep, pos, cap)
-    return target, keep, jnp.sum(keep)
+    order = jnp.argsort(~keep, stable=True)
+    cnt = jnp.sum(keep)
+    return order, jnp.arange(cap) < cnt, cnt
 
 
 @jax.jit
-def _scatter_compact(data: jnp.ndarray, target: jnp.ndarray):
-    return jnp.zeros_like(data).at[target].set(data, mode="drop")
+def _gather_compact(data: jnp.ndarray, order: jnp.ndarray):
+    return data[order]
 
 
 @jax.jit
-def _scatter_compact_valid(valid: jnp.ndarray, keep: jnp.ndarray, target: jnp.ndarray):
-    return jnp.zeros_like(valid).at[target].set(valid & keep, mode="drop")
+def _gather_compact_valid(valid: jnp.ndarray, order: jnp.ndarray, live: jnp.ndarray):
+    return valid[order] & live
 
 
 def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.ndarray):
-    """Scatter rows where ``keep`` holds to the front of fresh buffers.
+    """Move rows where ``keep`` holds to the front of fresh buffers.
 
     Returns (datas, valids, count).  Dead rows (index >= nrows) never kept.
-    Compiled per (dtype, capacity) — one shared `target` computation plus a
-    per-column scatter, so adding columns never triggers new compiles."""
-    target, keep2, cnt = _compact_target(keep, nrows)
-    out_d = tuple(_scatter_compact(d, target) for d in datas)
-    out_v = tuple(_scatter_compact_valid(v, keep2, target) for v in valids)
+    Stable argsort(~keep) + per-column gather — a cap-sized scatter is ~5x
+    slower than this on TPU.  Compiled per (dtype, capacity): one shared
+    order computation plus a per-column gather, so adding columns never
+    triggers new compiles."""
+    order, live, cnt = _compact_order(keep, nrows)
+    out_d = tuple(_gather_compact(d, order) for d in datas)
+    out_v = tuple(_gather_compact_valid(v, order, live) for v in valids)
     return out_d, out_v, cnt
 
 
@@ -248,16 +250,68 @@ def group_ids_sorted(
     return _gid_from_boundary(boundary, nrows)
 
 
+# Segment reductions assume SORTED dense gid (0..ngroups-1 for live rows,
+# cap-1 for trailing dead rows) — the invariant every grouping path in this
+# engine produces.  On TPU a cap-sized scatter (which jax.ops.segment_sum
+# lowers to) costs 0.5-0.8 s at 8M rows, while a segmented scan-with-reset
+# plus two small gathers costs ~10 ms, so these lower to scans instead.
+# Scanning (not cumsum-and-subtract) also avoids float cancellation: each
+# segment accumulates only its own values.
+
+
+def _segment_positions(gid):
+    """(first_pos, last_pos) per dense segment id, segment-ordered.
+
+    Only entries [0, #segments) are meaningful; callers mask by ngroups."""
+    cap = gid.shape[0]
+    boundary = (gid != jnp.roll(gid, 1)).at[0].set(True)
+    first_pos = jnp.argsort(~boundary, stable=True)
+    last_pos = jnp.concatenate(
+        [first_pos[1:] - 1, jnp.array([cap - 1], first_pos.dtype)]
+    )
+    # segments beyond the boundary count have first > last; clamp so the
+    # gathered garbage stays in range (masked by callers)
+    last_pos = jnp.maximum(last_pos, first_pos)
+    return first_pos, last_pos
+
+
+def _segment_scan(values, gid, combine):
+    """Running within-segment reduction (resets at boundaries)."""
+
+    def comb(a, b):
+        ag, av = a
+        bg, bv = b
+        return bg, jnp.where(ag == bg, combine(av, bv), bv)
+
+    _, run = jax.lax.associative_scan(comb, (gid, values))
+    return run
+
+
 def segment_sum(values, gid, num_segments):
-    return jax.ops.segment_sum(values, gid, num_segments=num_segments)
+    run = _segment_scan(values, gid, lambda a, b: a + b)
+    _, last_pos = _segment_positions(gid)
+    out = run[last_pos]
+    if num_segments != values.shape[0]:  # pragma: no cover - pad/trim
+        out = out[:num_segments]
+    return out
 
 
 def segment_min(values, gid, num_segments):
-    return jax.ops.segment_min(values, gid, num_segments=num_segments)
+    run = _segment_scan(values, gid, jnp.minimum)
+    _, last_pos = _segment_positions(gid)
+    out = run[last_pos]
+    if num_segments != values.shape[0]:  # pragma: no cover
+        out = out[:num_segments]
+    return out
 
 
 def segment_max(values, gid, num_segments):
-    return jax.ops.segment_max(values, gid, num_segments=num_segments)
+    run = _segment_scan(values, gid, jnp.maximum)
+    _, last_pos = _segment_positions(gid)
+    out = run[last_pos]
+    if num_segments != values.shape[0]:  # pragma: no cover
+        out = out[:num_segments]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -147,7 +147,8 @@ class WindowAggExec(ExecutionPlan):
                 return Column(FLOAT64, (rank - 1).astype(jnp.float64) / denom, alive)
             # cume_dist: (# rows <= current peer group end) / size
             nxt_boundary = jnp.roll(boundary, -1).at[cap - 1].set(True)
-            peer_end = _running_max_reverse(jnp.where(nxt_boundary, ar, -1))
+            # nearest NEXT boundary position = suffix MIN of marked indices
+            peer_end = _running_min_reverse(jnp.where(nxt_boundary, ar, cap))
             cd = (peer_end - seg_start[gid] + 1).astype(jnp.float64) / jnp.maximum(
                 seg_size, 1
             ).astype(jnp.float64)
@@ -193,12 +194,84 @@ class WindowAggExec(ExecutionPlan):
 
         if is_aggregate_function(f):
             v = w.args[0].evaluate(t) if w.args else None
-            cumulative = bool(w.order_by)
-            return _window_aggregate_full(
-                f, v, w.dtype, gid, seg_start, alive, cap, cumulative
-            )
+            lo, hi = self._frame_bounds(w, t, gid, seg_start, seg_size, alive, cap)
+            return _window_aggregate_range(f, v, w.dtype, gid, lo, hi, alive, cap)
 
         raise PlanError(f"window function '{f}' not implemented")
+
+    # ------------------------------------------------------------------
+    def _peer_bounds(self, w, t, gid, seg_start, seg_size, alive, cap):
+        """(peer_start, peer_end) absolute indices of the current row's
+        ORDER BY peer group (RANGE frame semantics)."""
+        ar = jnp.arange(cap)
+        if not w.order_by:
+            lo = seg_start[gid]
+            return lo, lo + seg_size - 1
+        okeys = [s.expr.evaluate(t) for s in w.order_by]
+        boundary = jnp.zeros(cap, bool).at[0].set(True)
+        for c in okeys:
+            k = K.orderable_key(c.data, c.dtype)
+            boundary = boundary | (k != jnp.roll(k, 1)) | (c.valid != jnp.roll(c.valid, 1))
+        boundary = (boundary | (gid != jnp.roll(gid, 1))).at[0].set(True)
+        peer_start = _running_max(jnp.where(boundary, ar, 0))
+        nxt_boundary = jnp.roll(boundary, -1).at[cap - 1].set(True)
+        # nearest NEXT boundary position = suffix MIN of marked indices
+        peer_end = _running_min_reverse(jnp.where(nxt_boundary, ar, cap))
+        return peer_start, peer_end
+
+    def _frame_bounds(self, w, t, gid, seg_start, seg_size, alive, cap):
+        """Per-row inclusive [lo, hi] frame over the sorted row axis
+        (window_frames.rs semantics; ROWS with offsets, RANGE/GROUPS with
+        UNBOUNDED/CURRENT bounds)."""
+        i = jnp.arange(cap)
+        seg_lo = seg_start[gid]
+        seg_hi = seg_lo + seg_size - 1
+        frame = w.frame
+
+        if frame is None:
+            if w.order_by:
+                # SQL default: RANGE UNBOUNDED PRECEDING .. CURRENT ROW —
+                # includes ALL peers of the current row
+                _, peer_end = self._peer_bounds(w, t, gid, seg_start, seg_size, alive, cap)
+                return seg_lo, peer_end
+            return seg_lo, seg_hi
+
+        if frame.units in ("range", "groups"):
+            if frame.start.offset is not None or frame.end.offset is not None:
+                raise PlanError(
+                    f"{frame.units.upper()} frames with offsets are not supported"
+                )
+            ps, pe = self._peer_bounds(w, t, gid, seg_start, seg_size, alive, cap)
+            if frame.start.kind == "preceding":  # UNBOUNDED PRECEDING
+                lo = seg_lo
+            elif frame.start.kind == "current":
+                lo = ps
+            else:  # following start without offset: UNBOUNDED FOLLOWING
+                raise PlanError("frame start UNBOUNDED FOLLOWING is invalid")
+            if frame.end.kind == "current":
+                hi = pe
+            elif frame.end.kind == "following":  # UNBOUNDED FOLLOWING
+                hi = seg_hi
+            else:
+                raise PlanError("frame end UNBOUNDED PRECEDING is invalid")
+            return lo, hi
+
+        # ROWS
+        def bound(b, is_start):
+            if b.kind == "preceding":
+                if b.offset is None:
+                    return seg_lo if is_start else jnp.full(cap, -1)
+                return i - int(b.offset)
+            if b.kind == "current":
+                return i
+            # following
+            if b.offset is None:
+                return (jnp.full(cap, cap) if is_start else seg_hi)
+            return i + int(b.offset)
+
+        lo = jnp.maximum(bound(frame.start, True), seg_lo)
+        hi = jnp.minimum(bound(frame.end, False), seg_hi)
+        return lo, hi
 
     def _display_line(self):
         return f"WindowAggExec: {self.window_exprs}"
@@ -208,16 +281,17 @@ class WindowAggExec(ExecutionPlan):
 
 
 def _segment_starts(gid, cap, alive):
-    ar = jnp.arange(cap)
-    return jnp.full(cap, cap - 1, gid.dtype).at[gid].min(jnp.where(alive, ar, cap - 1))
+    """First row index per segment id (sorted dense gid; no scatter)."""
+    first_pos, _ = K._segment_positions(gid)
+    return first_pos
 
 
 def _running_max(x):
     return jax.lax.associative_scan(jnp.maximum, x)
 
 
-def _running_max_reverse(x):
-    return jax.lax.associative_scan(jnp.maximum, x, reverse=True)
+def _running_min_reverse(x):
+    return jax.lax.associative_scan(jnp.minimum, x, reverse=True)
 
 
 def _segment_cumsum(x, gid, seg_start, cap):
@@ -227,63 +301,81 @@ def _segment_cumsum(x, gid, seg_start, cap):
     return total - seg_base
 
 
-def _window_aggregate_full(f, v, dtype, gid, seg_start, alive, cap, cumulative):
+def _range_sum(x, gid, lo, hi, cap):
+    """Inclusive per-row window sum over [lo, hi] (indices within the row's
+    partition): within-partition prefix scan + two gathers, no scatter."""
+    run = K._segment_scan(x, gid, lambda a, b: a + b)  # in-segment prefix
+    lo_c = jnp.clip(lo, 0, cap - 1)
+    hi_c = jnp.clip(hi, 0, cap - 1)
+    prev = jnp.clip(lo_c - 1, 0, cap - 1)
+    prev_same = (lo_c > 0) & (gid[prev] == gid[lo_c])
+    s = run[hi_c] - jnp.where(prev_same, run[prev], jnp.zeros((), x.dtype))
+    return jnp.where(hi >= lo, s, jnp.zeros((), x.dtype))
+
+
+def _range_minmax(x, lo, hi, cap, opfn, neutral):
+    """Per-row window min/max over [lo, hi] via a sparse table: K = log2(cap)
+    doubling levels, branchless two-block query.  Query blocks always lie
+    inside [lo, hi], so level construction never leaks across partitions."""
+    K_levels = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
+    levels = [x]
+    cur = x
+    for k in range(1, K_levels):
+        d = 1 << (k - 1)
+        shifted = jnp.concatenate([cur[d:], jnp.full(d, neutral, cur.dtype)])
+        cur = opfn(cur, shifted)
+        levels.append(cur)
+    stacked = jnp.stack(levels)  # [K, cap]
+    ln = jnp.maximum(hi - lo + 1, 1)
+    k = jnp.floor(jnp.log2(ln.astype(jnp.float64))).astype(jnp.int32)
+    lo_c = jnp.clip(lo, 0, cap - 1)
+    right = jnp.clip(hi - (1 << k.astype(jnp.int64)) + 1, 0, cap - 1)
+    a = stacked[k, lo_c]
+    b = stacked[k, right]
+    out = opfn(a, b)
+    return jnp.where(hi >= lo, out, neutral)
+
+
+def _window_aggregate_range(f, v, dtype, gid, lo, hi, alive, cap):
+    """Frame-aware window aggregate over per-row index ranges [lo, hi]
+    (AggregateWindowExpr, windows/aggregate.rs:36 — with real frame
+    support: ROWS offsets via prefix scans and sparse-table min/max)."""
     from .aggregate import _to_float
+
+    nonempty = hi >= lo
 
     if f == "count":
         x = (alive if v is None else (v.valid & alive)).astype(jnp.int64)
-        if cumulative:
-            out = _segment_cumsum(x, gid, seg_start, cap)
-        else:
-            out = K.segment_sum(x, gid, cap)[gid]
+        out = _range_sum(x, gid, lo, hi, cap)
         return Column(INT64, out, alive)
+
     assert v is not None
+    mask = v.valid & alive
+    cnt = _range_sum(mask.astype(jnp.int64), gid, lo, hi, cap)
+    has = nonempty & (cnt > 0)
+
     if f == "sum":
         acc = v.data.astype(dtype.storage_np_dtype())
-        x = jnp.where(v.valid & alive, acc, 0)
-        cnt = (v.valid & alive).astype(jnp.int64)
-        if cumulative:
-            out = _segment_cumsum(x, gid, seg_start, cap)
-            c = _segment_cumsum(cnt, gid, seg_start, cap)
-        else:
-            out = K.segment_sum(x, gid, cap)[gid]
-            c = K.segment_sum(cnt, gid, cap)[gid]
-        return Column(dtype, out, alive & (c > 0))
+        x = jnp.where(mask, acc, jnp.zeros((), acc.dtype))
+        out = _range_sum(x, gid, lo, hi, cap)
+        return Column(dtype, out, alive & has)
     if f in ("avg", "mean"):
         fx = _to_float(v.data, v.dtype)
-        x = jnp.where(v.valid & alive, fx, 0.0)
-        cnt = (v.valid & alive).astype(jnp.int64)
-        if cumulative:
-            s = _segment_cumsum(x, gid, seg_start, cap)
-            c = _segment_cumsum(cnt, gid, seg_start, cap)
-        else:
-            s = K.segment_sum(x, gid, cap)[gid]
-            c = K.segment_sum(cnt, gid, cap)[gid]
-        return Column(FLOAT64, s / jnp.maximum(c, 1), alive & (c > 0))
+        x = jnp.where(mask, fx, 0.0)
+        s = _range_sum(x, gid, lo, hi, cap)
+        return Column(FLOAT64, s / jnp.maximum(cnt, 1), alive & has)
     if f in ("min", "max"):
-        ordk = K.orderable_key(v.data, v.dtype)
-        big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+        opfn = jnp.minimum if f == "min" else jnp.maximum
         if v.dtype.is_float:
             neutral = jnp.inf if f == "min" else -jnp.inf
-            x = jnp.where(v.valid & alive, v.data, neutral)
+            x = jnp.where(mask, v.data, neutral)
         else:
-            x = jnp.where(v.valid & alive, ordk, big)
-        if cumulative:
-            # running min/max with per-segment resets: scan over (gid, x)
-            # pairs where crossing a segment boundary restarts from x
-            opfn = jnp.minimum if f == "min" else jnp.maximum
-
-            def combine(a, b):
-                ag, av = a
-                bg, bv = b
-                keep = ag == bg
-                return bg, jnp.where(keep, opfn(av, bv), bv)
-
-            _, out = jax.lax.associative_scan(combine, (gid, x))
-        else:
-            out = K.segment_min(x, gid, cap)[gid] if f == "min" else K.segment_max(x, gid, cap)[gid]
-        cnt = (v.valid & alive).astype(jnp.int64)
-        c = K.segment_sum(cnt, gid, cap)[gid]
+            ordk = K.orderable_key(v.data, v.dtype)
+            neutral = (
+                jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            )
+            x = jnp.where(mask, ordk, neutral)
+        out = _range_minmax(x, lo, hi, cap, opfn, neutral)
         out = out.astype(v.dtype.storage_np_dtype())
-        return Column(v.dtype, out, alive & (c > 0), v.dictionary)
+        return Column(v.dtype, out, alive & has, v.dictionary)
     raise PlanError(f"window aggregate '{f}' not implemented")
