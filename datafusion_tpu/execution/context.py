@@ -113,6 +113,12 @@ class _Provider(ContextProvider):
                 return v
         return None
 
+    def get_function(self, name: str):
+        return self.ctx.scalar_udfs.get(name.lower())
+
+    def get_aggregate_function(self, name: str):
+        return self.ctx.aggregate_udfs.get(name.lower())
+
 
 class ExecutionContext:
     def __init__(self, config: ExecutionConfig | None = None):

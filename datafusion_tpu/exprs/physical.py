@@ -703,3 +703,35 @@ class PhysScalarFunction(PhysicalExpr):
 
     def __repr__(self):
         return f"{self.name}({', '.join(map(repr, self.args))})"
+
+
+@dataclass
+class PhysScalarUDF(PhysicalExpr):
+    """User-defined scalar function (udf.rs:38): the callable runs on the
+    argument data buffers inside the trace; nulls propagate by AND of the
+    argument validities unless the UDF returns its own (data, valid)."""
+
+    udf: object  # functions.udf.ScalarUDF
+    args: list[PhysicalExpr]
+
+    @property
+    def dtype(self) -> DataType:
+        return self.udf.return_type
+
+    def children(self):
+        return list(self.args)
+
+    def evaluate(self, table: Table) -> CVec:
+        cols = [a.evaluate(table) for a in self.args]
+        out = self.udf.fun(*[c.data for c in cols])
+        if isinstance(out, tuple):
+            data, valid = out
+        else:
+            data = out
+            valid = jnp.ones(table.capacity, bool)
+            for c in cols:
+                valid = valid & c.valid
+        return CVec(self.dtype, data.astype(self.dtype.storage_np_dtype()), valid)
+
+    def __repr__(self):
+        return f"{self.udf.name}({', '.join(map(repr, self.args))})"

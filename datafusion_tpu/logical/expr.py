@@ -551,6 +551,45 @@ class AggregateFunction(Expr):
         return f"{self.fun.upper()}({d}{', '.join(repr(a) for a in self.args)})"
 
 
+@dataclass(eq=False, repr=False)
+class ScalarUDFExpr(Expr):
+    """A resolved user-defined scalar function (Expr::ScalarUDF,
+    logical_plan/expr.rs; resolved at SQL planning against the registry)."""
+
+    udf: object  # functions.udf.ScalarUDF
+    args: list[Expr]
+
+    def children(self):
+        return list(self.args)
+
+    def with_children(self, c):
+        return ScalarUDFExpr(self.udf, list(c))
+
+    def get_type(self, schema):
+        return self.udf.return_type
+
+    def __repr__(self):
+        return f"{self.udf.name}({', '.join(repr(a) for a in self.args)})"
+
+
+@dataclass(eq=False, repr=False)
+class AggregateUDFExpr(AggregateFunction):
+    """A resolved user-defined aggregate (Expr::AggregateUDF).  Subclasses
+    AggregateFunction so aggregate discovery and planning treat it
+    uniformly; `fun` is the registered name."""
+
+    udf: object = None  # functions.udf.AggregateUDF
+
+    def with_children(self, c):
+        return AggregateUDFExpr(self.fun, list(c), self.distinct, self.udf)
+
+    def get_type(self, schema):
+        return self.udf.return_type
+
+    def nullable(self, schema):
+        return True
+
+
 @dataclass(frozen=True)
 class WindowFrameBound:
     """Preceding/CurrentRow/Following with optional offset (None=UNBOUNDED)."""

@@ -48,15 +48,25 @@ from .base import ExecutionPlan
 class PhysAggExpr:
     """One aggregate: function name + input expression (+ distinct flag)."""
 
-    def __init__(self, fun: str, expr: PhysicalExpr | None, name: str, distinct: bool = False):
+    def __init__(
+        self,
+        fun: str,
+        expr: PhysicalExpr | None,
+        name: str,
+        distinct: bool = False,
+        udf=None,
+    ):
         self.fun = fun.lower()
         if self.fun == "mean":
             self.fun = "avg"
         self.expr = expr  # None => COUNT(*)
         self.name = name
         self.distinct = distinct
+        self.udf = udf  # functions.udf.AggregateUDF when user-defined
 
     def return_type(self) -> DataType:
+        if self.udf is not None:
+            return self.udf.return_type
         if self.expr is None:
             return INT64
         return aggregate_return_type(self.fun, [self.expr.dtype])
@@ -65,6 +75,9 @@ class PhysAggExpr:
     def state_fields(self) -> list[tuple[str, DataType]]:
         rt = self.return_type()
         f = self.fun
+        if self.udf is not None:
+            # one monoid accumulator + count (udaf.rs state_type)
+            return [(f"{self.name}[acc]", rt), (f"{self.name}[count]", INT64)]
         if f == "count":
             return [(f"{self.name}[count]", INT64)]
         if f == "sum":
@@ -304,6 +317,20 @@ def _eval_aggregate(a: PhysAggExpr, t: Table, perm, gid, cap, alive, ngroups, em
 
     gvalid = jnp.arange(cap) < ngroups
 
+    if a.udf is not None:
+        # user-defined monoid: segmented scan with the UDAF's step
+        rt = a.return_type()
+        sdt = rt.storage_np_dtype()
+        x = jnp.where(valid, data.astype(sdt), sdt.type(a.udf.zero))
+        run = K._segment_scan(x, gid, a.udf.step)
+        _, last_pos = K._segment_positions(gid)
+        acc = run[last_pos]
+        cnt = K.segment_sum(valid.astype(jnp.int64), gid, cap)
+        if emit_state:
+            return [Column(rt, acc, gvalid), Column(INT64, cnt, gvalid)]
+        out = acc if a.udf.finalize is None else a.udf.finalize(acc, cnt)
+        return [Column(rt, out.astype(sdt), gvalid & (cnt > 0))]
+
     if f == "count":
         cnt = K.segment_sum(valid.astype(jnp.int64), gid, cap)
         return [Column(INT64, cnt, gvalid)]
@@ -392,6 +419,19 @@ def _merge_aggregate(a: PhysAggExpr, state_cols, perm, gid, cap, alive, ngroups)
 
     def sort_col(c):
         return c.data[perm], c.valid[perm] & alive
+
+    if a.udf is not None:
+        rt = a.return_type()
+        sdt = rt.storage_np_dtype()
+        d, _ = sort_col(state_cols[0])
+        c, cv = sort_col(state_cols[1])
+        x = jnp.where(cv & (c > 0), d.astype(sdt), sdt.type(a.udf.zero))
+        run = K._segment_scan(x, gid, a.udf.step)
+        _, last_pos = K._segment_positions(gid)
+        acc = run[last_pos]
+        cnt = K.segment_sum(jnp.where(cv, c, 0), gid, cap)
+        out = acc if a.udf.finalize is None else a.udf.finalize(acc, cnt)
+        return Column(rt, out.astype(sdt), gvalid & (cnt > 0))
 
     if a.expr is None or f == "count":
         d, va = sort_col(state_cols[0])

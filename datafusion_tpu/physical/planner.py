@@ -166,6 +166,20 @@ class DefaultPhysicalPlanner(PhysicalPlanner):
             try:
                 phys = self.create_physical_plan(plan.plan)
                 rows.append(("physical_plan", phys.display()))
+                if plan.analyze:
+                    # EXPLAIN ANALYZE: run the plan and report SQLMetrics
+                    # (context.rs:449-476 + plan_metrics, mod.rs:322)
+                    from ..ops.base import collect_plan_metrics
+                    import time as _time
+
+                    t0 = _time.perf_counter()
+                    out = phys.execute()
+                    elapsed = _time.perf_counter() - t0
+                    metrics = collect_plan_metrics(phys)
+                    lines = [f"output_rows: {out.nrows}", f"elapsed_s: {elapsed:.6f}"]
+                    for k in sorted(metrics):
+                        lines.append(f"{k}: {metrics[k]}")
+                    rows.append(("metrics", "\n".join(lines)))
             except Exception as e:  # pragma: no cover
                 rows.append(("physical_plan_error", str(e)))
             return ExplainExec(plan.schema().to_schema(), rows)
@@ -212,7 +226,8 @@ class DefaultPhysicalPlanner(PhysicalPlanner):
             arg = (
                 create_physical_expr(e.args[0], in_schema) if e.args else None
             )
-            aggs.append(PhysAggExpr(e.fun, arg, f.qualified_name, e.distinct))
+            udf = getattr(e, "udf", None)
+            aggs.append(PhysAggExpr(e.fun, arg, f.qualified_name, e.distinct, udf))
         return HashAggregateExec("single", group, aggs, input_exec)
 
     def _plan_window(self, plan: L.Window) -> ExecutionPlan:
@@ -339,6 +354,11 @@ def create_physical_expr(e: Expr, schema: DFSchema) -> P.PhysicalExpr:
         for x in e.list_:
             values.append(x.value)
         return P.PhysInList(create_physical_expr(e.expr, schema), values, e.negated)
+    from ..logical.expr import ScalarUDFExpr
+
+    if isinstance(e, ScalarUDFExpr):
+        args = [create_physical_expr(a, schema) for a in e.args]
+        return P.PhysScalarUDF(e.udf, args)
     if isinstance(e, ScalarFunction):
         args = [create_physical_expr(a, schema) for a in e.args]
         return P.PhysScalarFunction(e.name, args, e.get_type(schema))

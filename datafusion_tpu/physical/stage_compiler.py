@@ -191,8 +191,8 @@ class CompiledStage:
 
 def _small_domain(key_cols, aggr_expr) -> int | None:
     """Total direct-index domain if all keys are small dictionary/bool."""
-    if any(a.distinct for a in aggr_expr):
-        return None  # distinct needs the sort path
+    if any(a.distinct or a.udf is not None for a in aggr_expr):
+        return None  # distinct/UDAF need the sort path
     total = 1
     for c in key_cols:
         if c.dtype.is_string and c.dictionary is not None:
@@ -395,6 +395,20 @@ def _eval_aggregate_nogroup(a: PhysAggExpr, t: Table, alive, out_cap, emit_state
     if a.distinct:
         # sort-based distinct over the mask (rare; COUNT(DISTINCT x))
         return _eval_aggregate_nogroup_distinct(a, t, alive, out_cap, emit_state)
+
+    if a.udf is not None:
+        v = a.expr.evaluate(t)
+        m = alive & v.valid
+        rt = a.return_type()
+        sdt = rt.storage_np_dtype()
+        x = jnp.where(m, v.data.astype(sdt), sdt.type(a.udf.zero))
+        run = jax.lax.associative_scan(a.udf.step, x)
+        acc = run[-1]
+        cnt = jnp.sum(m).astype(jnp.int64)
+        if emit_state:
+            return [one(acc, True, sdt), one(cnt, True, jnp.int64)]
+        out = acc if a.udf.finalize is None else a.udf.finalize(acc, cnt)
+        return [one(out, cnt > 0, sdt)]
 
     if a.expr is None:
         cnt = jnp.sum(alive).astype(jnp.int64)

@@ -68,6 +68,12 @@ class ContextProvider:
     def get_variable(self, name: str) -> Optional[ScalarValue]:
         return None
 
+    def get_function(self, name: str):  # -> ScalarUDF | None (planner.rs:77)
+        return None
+
+    def get_aggregate_function(self, name: str):  # -> AggregateUDF | None
+        return None
+
 
 class SqlToRel:
     def __init__(self, provider: ContextProvider):
@@ -407,8 +413,24 @@ class SqlToRel:
         outer references."""
 
         def fix(node: Expr) -> Expr:
-            from ..logical.expr import Exists, InSubquery, ScalarSubquery
+            from ..logical.expr import (
+                AggregateUDFExpr,
+                Exists,
+                InSubquery,
+                ScalarFunction as _SF,
+                ScalarSubquery,
+                ScalarUDFExpr,
+            )
 
+            # resolve UDF/UDAF names against the session registry
+            # (sql/planner.rs sql_fn_name_to_expr -> Expr::ScalarUDF)
+            if isinstance(node, _SF):
+                udaf = self.provider.get_aggregate_function(node.name)
+                if udaf is not None:
+                    return AggregateUDFExpr(node.name, node.args, False, udaf)
+                udf = self.provider.get_function(node.name)
+                if udf is not None:
+                    return ScalarUDFExpr(udf, node.args)
             if isinstance(node, Column) and not node.name.startswith("@"):
                 try:
                     f = schema.field_from_column(node.name, node.relation)
