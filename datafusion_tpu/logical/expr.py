@@ -552,6 +552,32 @@ class AggregateFunction(Expr):
 
 
 @dataclass(eq=False, repr=False)
+class RollingAggregate(Expr):
+    """ROLLING(agg [RANGE ...]) inside a ROLLING_WINDOW query — the fork's
+    Expr::RollingAggregate (logical_plan/expr.rs:354).  start/end are
+    dimension-offset bounds relative to each grid point."""
+
+    agg: "AggregateFunction"
+    start: "WindowFrameBound" = None  # default: UNBOUNDED PRECEDING
+    end: "WindowFrameBound" = None  # default: CURRENT ROW
+
+    def children(self):
+        return [self.agg]
+
+    def with_children(self, c):
+        return RollingAggregate(c[0], self.start, self.end)
+
+    def get_type(self, schema):
+        return self.agg.get_type(schema)
+
+    def nullable(self, schema):
+        return True
+
+    def __repr__(self):
+        return f"ROLLING({self.agg!r})"
+
+
+@dataclass(eq=False, repr=False)
 class ScalarUDFExpr(Expr):
     """A resolved user-defined scalar function (Expr::ScalarUDF,
     logical_plan/expr.rs; resolved at SQL planning against the registry)."""
@@ -862,11 +888,30 @@ def collect_columns(e: Expr, out: set | None = None) -> set:
 
 
 def find_aggregate_exprs(exprs: list[Expr]) -> list[Expr]:
-    """All AggregateFunction nodes in the trees (sql/utils.rs equivalent)."""
+    """All AggregateFunction nodes in the trees (sql/utils.rs equivalent).
+    Does not descend into ROLLING() — those belong to the rolling-window
+    node (find_rolling_aggregate_exprs is separate, sql/utils.rs)."""
     found: list[Expr] = []
 
     def visit(e: Expr):
+        if isinstance(e, RollingAggregate):
+            return
         if isinstance(e, AggregateFunction):
+            found.append(e)
+            return
+        for c in e.children():
+            visit(c)
+
+    for e in exprs:
+        visit(e)
+    return found
+
+
+def find_rolling_aggregate_exprs(exprs: list[Expr]) -> list[Expr]:
+    found: list[Expr] = []
+
+    def visit(e: Expr):
+        if isinstance(e, RollingAggregate):
             found.append(e)
             return
         for c in e.children():

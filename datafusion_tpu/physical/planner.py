@@ -64,7 +64,11 @@ class PhysicalPlanner:
 
 class DefaultPhysicalPlanner(PhysicalPlanner):
     def __init__(self, extension_planners: list | None = None):
-        self.extension_planners = extension_planners or []
+        if extension_planners is None:
+            from .rolling_planner import RollingWindowPlanner
+
+            extension_planners = [RollingWindowPlanner()]
+        self.extension_planners = extension_planners
 
     # ==================================================================
     def create_physical_plan(self, plan: L.LogicalPlan) -> ExecutionPlan:

@@ -47,6 +47,19 @@ TableRef = "TableName | DerivedTable | JoinClause"
 
 
 @dataclass
+class RollingWindowSpec:
+    """ROLLING_WINDOW(DIMENSION d, [PARTITION BY ...,] FROM x TO y EVERY z
+    [, GROUP BY DIMENSION expr]) — the CubeStore SQL extension."""
+
+    dimension: Expr
+    partition_by: list[Expr]
+    from_: Expr
+    to: Expr
+    every: Expr
+    group_by_dimension: Optional[Expr] = None
+
+
+@dataclass
 class Select:
     projection: list[Expr]  # Wildcard for *, Alias/other Exprs otherwise
     from_: list[object]  # TableRefs (comma = cross join)
@@ -54,6 +67,7 @@ class Select:
     group_by: list[Expr] = field(default_factory=list)
     having: Optional[Expr] = None
     distinct: bool = False
+    rolling_window: Optional[RollingWindowSpec] = None
 
 
 @dataclass

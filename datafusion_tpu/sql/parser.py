@@ -97,6 +97,7 @@ _RESERVED_STOP = {
     "with",
     "select",
     "set",
+    "rolling_window",
 }
 
 
@@ -341,6 +342,9 @@ class Parser:
         where = None
         if self.eat_kw("where"):
             where = self.parse_expr()
+        rolling = None
+        if self.eat_kw("rolling_window"):
+            rolling = self._parse_rolling_window_spec()
         group_by = []
         if self.eat_kw("group"):
             self.expect_kw("by")
@@ -351,7 +355,40 @@ class Parser:
         having = None
         if self.eat_kw("having"):
             having = self.parse_expr()
-        return A.Select(projection, from_, where, group_by, having, distinct)
+        return A.Select(projection, from_, where, group_by, having, distinct, rolling)
+
+    def _parse_rolling_window_spec(self) -> "A.RollingWindowSpec":
+        """ROLLING_WINDOW(DIMENSION d, [PARTITION BY c...,] FROM x TO y
+        EVERY z [, GROUP BY DIMENSION expr]) — CubeStore extension
+        (reference sql/planner.rs:695)."""
+        self.expect_op("(")
+        self.expect_kw("dimension")
+        dim = self.parse_expr()
+        self.expect_op(",")
+        partition_by = []
+        if self.eat_kw("partition"):
+            self.expect_kw("by")
+            while True:
+                partition_by.append(self.parse_expr())
+                if self.eat_op(","):
+                    if self.at_kw("from"):
+                        break
+                    continue
+                break
+        self.expect_kw("from")
+        frm = self.parse_expr()
+        self.expect_kw("to")
+        to = self.parse_expr()
+        self.expect_kw("every")
+        every = self.parse_expr()
+        gbd = None
+        if self.eat_op(","):
+            self.expect_kw("group")
+            self.expect_kw("by")
+            self.expect_kw("dimension")
+            gbd = self.parse_expr()
+        self.expect_op(")")
+        return A.RollingWindowSpec(dim, partition_by, frm, to, every, gbd)
 
     def _parse_select_item(self) -> Expr:
         if self.at_op("*"):
@@ -663,6 +700,22 @@ class Parser:
                     args.append(self.parse_expr())
             self.expect_op(")")
             return ScalarFunction("substr", args)
+        if kw == "rolling":
+            # ROLLING(agg [RANGE bound]) — CubeStore rolling aggregate
+            self.next()
+            self.expect_op("(")
+            inner = self.parse_expr()
+            if not isinstance(inner, AggregateFunction):
+                raise ParserError("ROLLING() requires an aggregate function")
+            start = WindowFrameBound("preceding", None)
+            end = WindowFrameBound("current")
+            if self.at_kw("range", "rows"):
+                frame = self._parse_window_frame()
+                start, end = frame.start, frame.end
+            self.expect_op(")")
+            from ..logical.expr import RollingAggregate
+
+            return RollingAggregate(inner, start, end)
         if kw == "exists":
             self.next()
             self.expect_op("(")

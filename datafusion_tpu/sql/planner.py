@@ -237,6 +237,15 @@ class SqlToRel:
             ge = self._resolve_group_expr(g, schema, proj_exprs, ctes, outer_schemas, alias_map)
             group_exprs.append(ge)
 
+        # ---- ROLLING_WINDOW (CubeStore extension, sql/planner.rs:695) ------
+        if sel.rolling_window is not None:
+            plan, proj_exprs, sort_exprs = self._plan_rolling_window(
+                sel, plan, schema, proj_exprs, sort_exprs, having, group_exprs,
+                ctes, outer_schemas,
+            )
+            having = None
+            group_exprs = []
+
         # ---- aggregation ---------------------------------------------------------
         all_post = proj_exprs + ([having] if having is not None else []) + [
             s.expr for s in sort_exprs
@@ -406,6 +415,82 @@ class SqlToRel:
     # ==================================================================
     # expression resolution
     # ==================================================================
+    def _plan_rolling_window(
+        self, sel, plan, schema, proj_exprs, sort_exprs, having, group_exprs,
+        ctes, outer_schemas,
+    ):
+        """Build the RollingWindowAggregate extension node and rebase the
+        select list onto its outputs (sql/planner.rs:695-780)."""
+        from ..logical.expr import find_rolling_aggregate_exprs
+        from ..logical.plan import Extension
+        from ..logical.rolling import RollingWindowAggregate
+
+        if group_exprs:
+            raise PlanError(
+                "GROUP BY and ROLLING_WINDOW are not allowed in the same query"
+            )
+        rw = sel.rolling_window
+        rolling_aggs = find_rolling_aggregate_exprs(
+            proj_exprs + [s.expr for s in sort_exprs]
+        )
+        if not rolling_aggs:
+            raise PlanError("ROLLING_WINDOW without ROLLING() aggregates")
+
+        def as_column(e, kind):
+            r = self._resolve_expr(e, schema, ctes, outer_schemas)
+            if not isinstance(r, Column):
+                raise PlanError(f"{kind} '{e!r}' is not a column")
+            return r
+
+        dim = as_column(rw.dimension, "DIMENSION inside rolling window")
+        pby = [
+            as_column(p, "PARTITION BY item inside rolling window")
+            for p in rw.partition_by
+        ]
+        frm = self._resolve_expr(rw.from_, schema, ctes, outer_schemas)
+        to = self._resolve_expr(rw.to, schema, ctes, outer_schemas)
+        every = self._resolve_expr(rw.every, schema, ctes, outer_schemas)
+        gbd = (
+            self._resolve_expr(rw.group_by_dimension, schema, ctes, outer_schemas)
+            if rw.group_by_dimension is not None
+            else None
+        )
+        plain_aggs = find_aggregate_exprs(proj_exprs + [s.expr for s in sort_exprs])
+        if gbd is not None and not plain_aggs:
+            raise PlanError(
+                "GROUP BY DIMENSION without aggregate functions inside ROLLING_WINDOW"
+            )
+        if plain_aggs and gbd is None:
+            raise PlanError(
+                "Use of aggregate functions in ROLLING_WINDOW requires GROUP BY DIMENSION"
+            )
+        node = RollingWindowAggregate(
+            plan,
+            dim,
+            frm,
+            to,
+            every,
+            pby,
+            _dedup_by_repr(rolling_aggs),
+            gbd,
+            _dedup_by_repr(plain_aggs),
+        )
+        plan = Extension(node)
+        ext_schema = plan.schema()
+        mapping = {}
+        for r in node.rolling_aggs:
+            mapping[repr(r)] = Column(r.output_name())
+        for a in node.aggs:
+            mapping[repr(a)] = Column(a.output_name())
+        proj_exprs = [_rewrite_post_agg(e, mapping, ext_schema) for e in proj_exprs]
+        sort_exprs = [
+            SortExpr(
+                _rewrite_post_agg(s.expr, mapping, ext_schema), s.ascending, s.nulls_first
+            )
+            for s in sort_exprs
+        ]
+        return plan, proj_exprs, sort_exprs
+
     def _resolve_expr(
         self, e: Expr, schema: DFSchema, ctes, outer_schemas, alias_map=None
     ) -> Expr:
