@@ -137,6 +137,11 @@ class ExecutionContext:
         }
         if not self.config.optimizer_rules:
             self.config.optimizer_rules = default_optimizer_rules()
+        # physical-plan cache for repeated queries (keyed on optimized plan
+        # shape + catalog generation; the reference re-plans every call, but
+        # re-planning + re-fusing costs real host time per dispatch on TPU)
+        self._plan_cache: dict = {}
+        self._catalog_version = 0
 
     # ---- registration (context.rs:313-386) ---------------------------------
     def _default_schema(self) -> MemorySchemaProvider:
@@ -150,9 +155,11 @@ class ExecutionContext:
         if not isinstance(table, TableProvider):
             raise PlanError(f"cannot register {type(table)} as a table")
         self._default_schema().register_table(name, table)
+        self._catalog_version += 1
 
     def deregister_table(self, name: str) -> None:
         self._default_schema().deregister_table(name)
+        self._catalog_version += 1
 
     def register_csv(self, name: str, path: str, schema: Schema | None = None, has_header: bool = True, delimiter: str = ","):
         self.register_table(
@@ -286,8 +293,14 @@ class ExecutionContext:
     # ---- execution ------------------------------------------------------------
     def collect(self, plan: LogicalPlan) -> Table:
         display = [f.name for f in plan.schema().fields]  # pre-optimization names
-        optimized = self.optimize(plan)
-        phys = self.create_physical_plan(optimized)
+        key = (plan.display(), self._catalog_version)
+        phys = self._plan_cache.get(key)
+        if phys is None:
+            optimized = self.optimize(plan)
+            phys = self.create_physical_plan(optimized)
+            # volatile expressions must not freeze (now() is folded per query)
+            if "now()" not in key[0] and len(self._plan_cache) < 256:
+                self._plan_cache[key] = phys
         out = phys.execute()
         # final output uses unqualified display names
         if len(display) == len(out.names):
