@@ -672,6 +672,12 @@ class WindowFunction(Expr):
             )
         if self.order_by:
             over.append("ORDER BY " + ", ".join(repr(o) for o in self.order_by))
+        if self.frame is not None:
+            f = self.frame
+            over.append(
+                f"{f.units.upper()} BETWEEN {f.start.kind}:{f.start.offset} "
+                f"AND {f.end.kind}:{f.end.offset}"
+            )
         return s + " OVER (" + " ".join(over) + ")"
 
 

@@ -48,7 +48,8 @@ from ..ops.aggregate import (
     _segment_first_index,
 )
 from ..ops.base import ExecutionPlan
-from ..ops.basic import FilterExec, MemoryExec, ProjectionExec
+from ..ops.basic import FilterExec, GlobalLimitExec, MemoryExec, ProjectionExec
+from ..ops.sort import SortExec
 from ..types.dtypes import FLOAT64, INT64
 
 # domain limit for the fused [domain, N] reduction path; beyond this the
@@ -57,8 +58,18 @@ FUSED_DOMAIN_LIMIT = 256
 
 
 def compilable(plan: ExecutionPlan) -> bool:
-    """Is this subtree one fusable stage (Memory -> Filter/Proj -> [Agg])?"""
+    """Is this subtree one fusable stage?
+
+    Shape: [Limit?] [Sort?] [Proj*] [Agg?] (Filter|Proj)* Memory — the whole
+    query tail fuses so the host dispatches ONE XLA program per query
+    (post-aggregate sort/projection run on the shrunk in-trace buffers)."""
     node = plan
+    if isinstance(node, GlobalLimitExec):
+        node = node.input
+    if isinstance(node, SortExec):
+        node = node.input
+    while isinstance(node, ProjectionExec):
+        node = node.input
     if isinstance(node, HashAggregateExec) and node.mode in ("single", "partial"):
         node = node.input
     while isinstance(node, (FilterExec, ProjectionExec)):
@@ -122,8 +133,8 @@ class CompiledStage:
             if isinstance(op, ProjectionExec):
                 cols = [e.evaluate(t) for e, _ in op.exprs]
                 t = Table([n for _, n in op.exprs], cols, 0)
-            elif isinstance(op, FilterExec):
-                pass
+            elif isinstance(op, (FilterExec, SortExec, GlobalLimitExec)):
+                pass  # schema/dictionaries unchanged
             elif isinstance(op, HashAggregateExec):
                 key_cols = [e.evaluate(t) for e, _ in op.group_expr]
                 names = [n for _, n in op.group_expr]
@@ -156,8 +167,20 @@ class CompiledStage:
         cur_v = list(valids)
         cap = cur_d[0].shape[0] if cur_d else 0
         alive = jnp.arange(cap) < nrows
-        aggregated = False
+        compacted = True  # live rows currently at the front
         n = nrows
+
+        def compact():
+            # one compaction: stable sort of the mask + gathers (no scatter)
+            nonlocal cur_d, cur_v, alive, compacted, n, cap
+            nn = jnp.sum(alive)
+            order = jnp.argsort(~alive, stable=True)
+            live_sorted = jnp.arange(cap) < nn
+            cur_d = [d[order] for d in cur_d]
+            cur_v = [v[order] & live_sorted for v in cur_v]
+            alive = live_sorted
+            n = nn
+            compacted = True
 
         for op in self.chain:
             if isinstance(op, FilterExec):
@@ -165,6 +188,7 @@ class CompiledStage:
                 p = op.predicate.evaluate(view)
                 # no compaction: fold the predicate into the row mask
                 alive = alive & p.data.astype(bool) & p.valid
+                compacted = False
             elif isinstance(op, ProjectionExec):
                 view = self._table_view(cur_d, cur_v, t)
                 outs = [e.evaluate(view) for e, _ in op.exprs]
@@ -173,19 +197,47 @@ class CompiledStage:
                 t = Table([nm for _, nm in op.exprs], outs, 0)
             elif isinstance(op, HashAggregateExec):
                 view = self._table_view(cur_d, cur_v, t)
-                cur_d, cur_v, n = _traced_aggregate(op, view, alive, cap)
-                aggregated = True
+                cur_d, cur_v, n, meta = _traced_aggregate(op, view, alive, cap)
+                cap = cur_d[0].shape[0] if cur_d else 0
+                alive = jnp.arange(cap) < n
+                compacted = True
+                t = Table(
+                    [nm for nm, _, _ in meta],
+                    [
+                        Column(dt, d, v, dic)
+                        for (nm, dt, dic), d, v in zip(meta, cur_d, cur_v)
+                    ],
+                    0,
+                )
+            elif isinstance(op, SortExec):
+                if not compacted:
+                    compact()
+                view = self._table_view(cur_d, cur_v, t)
+                ordkeys, kvalids, descs, nfs = [], [], [], []
+                for s in op.sort_exprs:
+                    c = s.expr.evaluate(view)
+                    ordkeys.append(K.orderable_key(c.data, c.dtype))
+                    kvalids.append(c.valid)
+                    descs.append(not s.ascending)
+                    nfs.append(s.nulls_first)
+                perm = K.lexsort_perm(
+                    tuple(ordkeys), tuple(kvalids), n, tuple(descs), tuple(nfs)
+                )
+                cur_d = [d[perm] for d in cur_d]
+                cur_v = [v[perm] for v in cur_v]
+                if op.fetch is not None:
+                    n = jnp.minimum(n, op.fetch)
+                    alive = jnp.arange(cap) < n
+            elif isinstance(op, GlobalLimitExec):
+                if not compacted:
+                    compact()
+                n = jnp.minimum(n, op.n)
+                alive = jnp.arange(cap) < n
             else:  # pragma: no cover
                 raise InternalError(f"unfusable op {type(op).__name__}")
 
-        if not aggregated:
-            # one compaction at stage exit: stable sort of the mask +
-            # gathers (never a scatter)
-            n = jnp.sum(alive)
-            order = jnp.argsort(~alive, stable=True)
-            live_sorted = jnp.arange(cap) < n
-            cur_d = [d[order] for d in cur_d]
-            cur_v = [v[order] & live_sorted for v in cur_v]
+        if not compacted:
+            compact()
         return tuple(cur_d), tuple(cur_v), n
 
 
@@ -206,6 +258,24 @@ def _small_domain(key_cols, aggr_expr) -> int | None:
     return total
 
 
+def _agg_out_meta(op: HashAggregateExec, key_cols, emit_state):
+    """(name, dtype, dictionary) per output column of a traced aggregate."""
+    meta = [
+        (name, kc.dtype, kc.dictionary)
+        for kc, (_, name) in zip(key_cols, op.group_expr)
+    ]
+    for a in op.aggr_expr:
+        if emit_state:
+            for sn, sd in a.state_fields():
+                meta.append((sn, sd, None))
+        else:
+            dic = None
+            if a.fun in ("min", "max") and a.expr is not None:
+                dic = getattr(a.expr, "_meta_dict", None)
+            meta.append((a.name, a.return_type(), dic))
+    return meta
+
+
 def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap):
     key_cols = [e.evaluate(t) for e, _ in op.group_expr]
     emit_state = op.mode == "partial"
@@ -219,7 +289,7 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap):
             for c in cols:
                 out_d.append(c.data)
                 out_v.append(c.valid)
-        return out_d, out_v, jnp.int64(1)
+        return out_d, out_v, jnp.int64(1), _agg_out_meta(op, [], emit_state)
 
     domain = _small_domain(key_cols, op.aggr_expr)
     if domain is not None:
@@ -244,14 +314,21 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap):
         fi = _segment_first_index(gid, cap, alive_sorted)
         out_d.append(skd[fi])
         out_v.append(skv[fi] & (jnp.arange(cap) < ngroups))
+    agg_dicts = {}
     for a in op.aggr_expr:
         cols = _eval_aggregate(
             a, tc, perm, gid, cap, alive_sorted, ngroups, emit_state=emit_state
         )
+        if a.fun in ("min", "max") and a.expr is not None and not emit_state:
+            agg_dicts[a.name] = cols[0].dictionary
         for c in cols:
             out_d.append(c.data)
             out_v.append(c.valid)
-    return out_d, out_v, ngroups
+    meta = _agg_out_meta(op, key_cols, emit_state)
+    meta = [
+        (nm, dt, agg_dicts.get(nm, dic)) for nm, dt, dic in meta
+    ]
+    return out_d, out_v, ngroups, meta
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +384,16 @@ def _fused_small_domain_aggregate(op, t, key_cols, domain, alive, cap, emit_stat
             # reorder [D] slot values into compacted group order, pad out
             out_d.append(_pad_to(data[slot_of_group], out_cap, data.dtype))
             out_v.append(_pad_to(valid[slot_of_group], out_cap, jnp.bool_) & gvalid_row)
-    return out_d, out_v, ngroups
+    meta = _agg_out_meta(op, key_cols, emit_state)
+    if not emit_state:
+        # min/max over strings keep the argument's dictionary
+        agg_dicts = {
+            a.name: a.expr.evaluate(t).dictionary
+            for a in op.aggr_expr
+            if a.fun in ("min", "max") and a.expr is not None
+        }
+        meta = [(nm, dt, agg_dicts.get(nm, dic)) for nm, dt, dic in meta]
+    return out_d, out_v, ngroups, meta
 
 
 def _masked_reduce_sum(hit, vals, zero):
