@@ -574,7 +574,15 @@ class RollingAggregate(Expr):
         return True
 
     def __repr__(self):
-        return f"ROLLING({self.agg!r})"
+        b = ""
+        if self.start is not None or self.end is not None:
+            st = self.start
+            en = self.end
+            b = (
+                f" RANGE {getattr(st, 'kind', None)}:{getattr(st, 'offset', None)}"
+                f"..{getattr(en, 'kind', None)}:{getattr(en, 'offset', None)}"
+            )
+        return f"ROLLING({self.agg!r}{b})"
 
 
 @dataclass(eq=False, repr=False)

@@ -90,6 +90,19 @@ def test_group_by_dimension_plain_agg(ctx):
     assert d["per_day"] == [15, 20, None, 37, 8]
 
 
+def test_two_different_windows_not_deduped(ctx):
+    """Different RANGE bounds must stay distinct aggregates (repr includes
+    the frame — regression test for dedup-by-repr collapsing them)."""
+    out = ctx.sql(
+        "SELECT day, ROLLING(SUM(hits)) AS running, "
+        "ROLLING(SUM(hits) RANGE 1 PRECEDING) AS last2 FROM e "
+        "ROLLING_WINDOW(DIMENSION day, FROM 1 TO 5 EVERY 1) ORDER BY day"
+    ).collect()
+    d = out.to_pydict()
+    assert d["running"] == [15, 35, 35, 72, 80]
+    assert d["last2"] == [15, 35, 20, 37, 45]
+
+
 def test_errors(ctx):
     with pytest.raises((PlanError, ParserError)):
         ctx.sql(
