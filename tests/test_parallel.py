@@ -1,0 +1,129 @@
+"""SPMD mesh layer (datafusion_tpu.parallel): sharded tables, distributed
+filter/project/aggregate (partial -> all_to_all re-key -> final in ONE
+jitted program) and the partitioned hash join, on the 8-virtual-device CPU
+mesh — results verified against the single-device engine.
+
+This is the intra-slice ICI path (SURVEY.md §2.8 parallelism mapping); the
+stage-DAG layer (tests/test_distributed*.py) is the cross-slice path."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from datafusion_tpu.columnar import Table
+from datafusion_tpu.exprs.physical import PhysBinary, PhysCol, PhysLit
+from datafusion_tpu.ops.aggregate import HashAggregateExec, PhysAggExpr
+from datafusion_tpu.ops.basic import MemoryExec
+from datafusion_tpu.parallel.mesh import ShardedTable, make_mesh
+from datafusion_tpu.parallel.ops import (
+    dist_aggregate,
+    dist_filter,
+    dist_join,
+    dist_project,
+)
+from datafusion_tpu.types import ScalarValue
+from datafusion_tpu.types.dtypes import BOOL, INT64
+
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs the virtual multi-device mesh"
+)
+
+
+def table(n=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    return Table.from_pydict(
+        {
+            "k": [f"key{int(i)}" for i in rng.integers(0, 20, n)],
+            "v": rng.integers(0, 1000, n).tolist(),
+        }
+    )
+
+
+def col(t: Table, name: str) -> PhysCol:
+    i = t.names.index(name)
+    return PhysCol(name, i, t.columns[i].dtype)
+
+
+def sorted_rows(t: Table):
+    d = t.to_pydict()
+    return sorted(zip(*d.values()), key=lambda r: tuple(str(x) for x in r))
+
+
+@needs_devices
+def test_shard_roundtrip():
+    t = table(257)
+    mesh = make_mesh(8)
+    st = ShardedTable.from_table(t, mesh)
+    assert st.total_rows() == 257
+    back = st.to_table()
+    assert sorted_rows(back) == sorted_rows(t)
+
+
+@needs_devices
+def test_dist_filter_project():
+    t = table(500)
+    mesh = make_mesh(8)
+    st = ShardedTable.from_table(t, mesh)
+    pred = PhysBinary(col(t, "v"), ">", PhysLit(ScalarValue.int64(500)), BOOL)
+    filtered = dist_filter(st, pred)
+    proj = dist_project(
+        filtered,
+        [(col(t, "k"), "k"), (PhysBinary(col(t, "v"), "*", PhysLit(ScalarValue.int64(2)), INT64), "v2")],
+    )
+    got = sorted_rows(proj.to_table())
+    d = t.to_pydict()
+    want = sorted(
+        ((k, v * 2) for k, v in zip(d["k"], d["v"]) if v > 500),
+        key=lambda r: tuple(str(x) for x in r),
+    )
+    assert got == want
+
+
+@needs_devices
+def test_dist_aggregate_matches_single_device():
+    t = table(800)
+    mesh = make_mesh(8)
+    st = ShardedTable.from_table(t, mesh)
+    group = [(col(t, "k"), "k")]
+    aggs = [
+        PhysAggExpr("sum", col(t, "v"), "s"),
+        PhysAggExpr("count", None, "c"),
+        PhysAggExpr("min", col(t, "v"), "mn"),
+        PhysAggExpr("avg", col(t, "v"), "a"),
+    ]
+    out = dist_aggregate(st, group, aggs).to_table()
+
+    single = HashAggregateExec(
+        "single", group, aggs, MemoryExec(t, t.schema())
+    ).execute()
+    assert sorted_rows(out) == sorted_rows(single)
+
+
+@needs_devices
+def test_dist_aggregate_no_group():
+    t = table(300)
+    mesh = make_mesh(8)
+    st = ShardedTable.from_table(t, mesh)
+    out = dist_aggregate(st, [], [PhysAggExpr("sum", col(t, "v"), "s")]).to_table()
+    assert out.to_pydict()["s"] == [sum(t.to_pydict()["v"])]
+
+
+@needs_devices
+def test_dist_join_matches_single_device():
+    lt = table(400, seed=1)
+    rt = Table.from_pydict(
+        {"k": [f"key{i}" for i in range(20)], "w": [i * 100 for i in range(20)]}
+    )
+    mesh = make_mesh(8)
+    sl = ShardedTable.from_table(lt, mesh)
+    sr = ShardedTable.from_table(rt, mesh)
+    on = [(col(lt, "k"), col(rt, "k"))]
+    out = dist_join(sl, sr, on, "inner").to_table()
+
+    from datafusion_tpu.ops.join import join_tables
+
+    want = join_tables(lt, rt, on, "inner", None)
+    assert sorted_rows(out) == sorted_rows(want)
