@@ -25,6 +25,7 @@ Aggregate state layout (partial columns per logical aggregate):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,7 +156,76 @@ class HashAggregateExec(ExecutionPlan):
         t = self.input.execute()
         if self.mode == "final":
             return self._execute_final(t)
-        return self._execute_raw(t)
+        return self._execute_raw_jit(t)
+
+    # ---- jitted raw path: ONE device program per aggregate op ------------
+    # (the eager path below dispatches dozens of ops; post-join aggregates
+    # are latency-bound on dispatch, so trace the whole thing like the
+    # fused-stage compiler does)
+    def _execute_raw_jit(self, t: Table) -> Table:
+        from ..physical.stage_compiler import _agg_out_meta, _traced_aggregate
+
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        key = (
+            t.capacity,
+            tuple(str(c.dtype) for c in t.columns),
+            tuple(id(c.dictionary) for c in t.columns),
+        )
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            names = list(t.names)
+            dtypes = [c.dtype for c in t.columns]
+            dicts = [c.dictionary for c in t.columns]
+
+            def body(datas, valids, nrows):
+                cols = [
+                    Column(dt, d, v, dic)
+                    for dt, dic, d, v in zip(dtypes, dicts, datas, valids)
+                ]
+                view = Table(list(names), cols, 0)
+                cap = t.capacity
+                alive = jnp.arange(cap) < nrows
+                out_d, out_v, n, _meta = _traced_aggregate(self, view, alive, cap)
+                return tuple(out_d), tuple(out_v), n
+
+            # output metadata from a 1-row dry evaluation (host side)
+            sample = Table(
+                list(names),
+                [
+                    Column(dt, jnp.zeros(1, c.data.dtype), jnp.zeros(1, bool), dic)
+                    for dt, dic, c in zip(dtypes, dicts, t.columns)
+                ],
+                0,
+            )
+            key_cols = [e.evaluate(sample) for e, _ in self.group_expr]
+            meta = _agg_out_meta(self, key_cols, self.mode == "partial")
+            if self.mode != "partial":
+                for a in self.aggr_expr:
+                    if a.fun in ("min", "max") and a.expr is not None:
+                        dic = a.expr.evaluate(sample).dictionary
+                        meta = [
+                            (nm, dt, dic if nm == a.name else d0)
+                            for nm, dt, d0 in meta
+                        ]
+            entry = (jax.jit(body), meta)
+            self._jit_cache[key] = entry
+
+        fn, meta = entry
+        out_d, out_v, n = fn(
+            tuple(c.data for c in t.columns),
+            tuple(c.valid for c in t.columns),
+            np.int64(t.nrows),
+        )
+        cols = [
+            Column(dt, d, v, dic)
+            for (nm, dt, dic), d, v in zip(meta, out_d, out_v)
+        ]
+        out = Table([nm for nm, _, _ in meta], cols, int(n))
+        tgt = round_capacity(out.nrows)
+        if tgt < out.capacity:
+            out = out.with_capacity(tgt)
+        return out
 
     # ---- phase 1: raw rows -> per-group states / final values -----------
     def _execute_raw(self, t: Table) -> Table:

@@ -91,16 +91,81 @@ class CompiledStage:
         self.source: MemoryExec = node
         self.chain = list(reversed(chain))
         self.out_schema = plan.schema()
-        self._jitted = jax.jit(self._run)
+        self._jit_variants: dict = {}
         # learn output dictionaries from a dry evaluation
         self.out_dicts = self._infer_dicts()
+        # integer group keys that can use the fused small-domain path when a
+        # cheap runtime min/max probe finds a small range: only safe when the
+        # aggregate sees source columns directly (no projection in between)
+        self._probe_specs = self._find_probe_specs()
+        self._probe_cache: dict = {}
+
+    def _find_probe_specs(self):
+        from ..exprs.physical import PhysCol
+
+        agg = None
+        below_ops = []
+        for op in self.chain:
+            if isinstance(op, HashAggregateExec):
+                agg = op
+                break
+            below_ops.append(op)
+        if agg is None or not agg.group_expr:
+            return None
+        if any(isinstance(op, ProjectionExec) for op in below_ops):
+            return None
+        specs = []
+        for ki, (e, _) in enumerate(agg.group_expr):
+            if not isinstance(e, PhysCol):
+                continue
+            if e.dtype.is_integer or e.dtype.kind == "date32":
+                specs.append((ki, e.index))
+        return specs or None
+
+    def _probe_int_ranges(self, src: Table):
+        """Eager min/max probe of integer group keys; small ranges unlock
+        the fused [domain, N] path with the range as a static constant."""
+        if not self._probe_specs:
+            return None
+        ckey = tuple(id(src.columns[ci].data) for _, ci in self._probe_specs)
+        cached = self._probe_cache.get(ckey)
+        if cached is not None:
+            return cached or None
+        ranges = {}
+        alive = jnp.arange(src.capacity) < src.nrows
+        for ki, ci in self._probe_specs:
+            c = src.columns[ci]
+            m = c.valid & alive
+            big = jnp.iinfo(jnp.int64).max
+            mn = int(jnp.min(jnp.where(m, c.data.astype(jnp.int64), big)))
+            mx = int(jnp.max(jnp.where(m, c.data.astype(jnp.int64), -big)))
+            if mn > mx:
+                continue  # all-null key
+            rng = mx - mn + 1
+            if 0 < rng <= FUSED_DOMAIN_LIMIT:
+                ranges[ki] = (mn, rng)
+        # all int keys must be small for the fused path to engage
+        if len(ranges) != len(self._probe_specs):
+            ranges = {}
+        self._probe_cache[ckey] = ranges
+        if len(self._probe_cache) > 64:
+            self._probe_cache.clear()
+        return ranges or None
 
     # ------------------------------------------------------------------
     def execute(self) -> Table:
         src = self.source.execute()
         datas = tuple(c.data for c in src.columns)
         valids = tuple(c.valid for c in src.columns)
-        out_d, out_v, nout = self._jitted(datas, valids, np.int64(src.nrows))
+        ranges = self._probe_int_ranges(src)
+        vkey = tuple(sorted(ranges.items())) if ranges else ()
+        fn = self._jit_variants.get(vkey)
+        if fn is None:
+            from functools import partial
+
+            fn = jax.jit(partial(self._run, int_ranges=ranges))
+            self._jit_variants[vkey] = fn
+        out_d, out_v, nout = fn(datas, valids, np.int64(src.nrows))
         cols = [
             Column(f.dtype, d, v, dic)
             for f, d, v, dic in zip(self.out_schema.fields, out_d, out_v, self.out_dicts)
@@ -160,7 +225,7 @@ class CompiledStage:
         return t
 
     # ------------------------------------------------------------------
-    def _run(self, datas, valids, nrows):
+    def _run(self, datas, valids, nrows, int_ranges=None):
         src_table = self._table_view(datas, valids, self.source.execute())
         t = src_table
         cur_d = list(datas)
@@ -197,7 +262,9 @@ class CompiledStage:
                 t = Table([nm for _, nm in op.exprs], outs, 0)
             elif isinstance(op, HashAggregateExec):
                 view = self._table_view(cur_d, cur_v, t)
-                cur_d, cur_v, n, meta = _traced_aggregate(op, view, alive, cap)
+                cur_d, cur_v, n, meta = _traced_aggregate(
+                    op, view, alive, cap, int_ranges
+                )
                 cap = cur_d[0].shape[0] if cur_d else 0
                 alive = jnp.arange(cap) < n
                 compacted = True
@@ -241,16 +308,20 @@ class CompiledStage:
         return tuple(cur_d), tuple(cur_v), n
 
 
-def _small_domain(key_cols, aggr_expr) -> int | None:
-    """Total direct-index domain if all keys are small dictionary/bool."""
+def _small_domain(key_cols, aggr_expr, int_ranges=None) -> int | None:
+    """Total direct-index domain if all keys are small dictionary/bool —
+    or small-range integers when the caller probed their (min, base)
+    eagerly (int_ranges: {key_index: (min, base)})."""
     if any(a.distinct or a.udf is not None for a in aggr_expr):
         return None  # distinct/UDAF need the sort path
     total = 1
-    for c in key_cols:
+    for i, c in enumerate(key_cols):
         if c.dtype.is_string and c.dictionary is not None:
             total *= max(len(c.dictionary), 1) + 1  # +1 for NULL slot
         elif c.dtype.is_bool:
             total *= 3
+        elif int_ranges is not None and i in int_ranges:
+            total *= int_ranges[i][1] + 1
         else:
             return None
         if total > FUSED_DOMAIN_LIMIT:
@@ -276,7 +347,7 @@ def _agg_out_meta(op: HashAggregateExec, key_cols, emit_state):
     return meta
 
 
-def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap):
+def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap, int_ranges=None):
     key_cols = [e.evaluate(t) for e, _ in op.group_expr]
     emit_state = op.mode == "partial"
 
@@ -291,10 +362,10 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap):
                 out_v.append(c.valid)
         return out_d, out_v, jnp.int64(1), _agg_out_meta(op, [], emit_state)
 
-    domain = _small_domain(key_cols, op.aggr_expr)
+    domain = _small_domain(key_cols, op.aggr_expr, int_ranges)
     if domain is not None:
         return _fused_small_domain_aggregate(
-            op, t, key_cols, domain, alive, cap, emit_state
+            op, t, key_cols, domain, alive, cap, emit_state, int_ranges
         )
 
     # ---- general path: compact once (argsort+gather), then sort-group ----
@@ -336,15 +407,30 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap):
 # ---------------------------------------------------------------------------
 
 
-def _fused_small_domain_aggregate(op, t, key_cols, domain, alive, cap, emit_state):
+def _fused_small_domain_aggregate(
+    op, t, key_cols, domain, alive, cap, emit_state, int_ranges=None
+):
     # slot id per row: sum(code_i * stride_i); codes are sorted dictionary
-    # indices, so arithmetic order == lexicographic group order.  Dead rows
-    # get slot `domain` (outside every compare row).
+    # indices (or offset integers), so arithmetic order == group sort
+    # order.  Dead rows get slot `domain` (outside every compare row).
     gid = jnp.zeros(cap, jnp.int32)
     stride = 1
-    for c in reversed(key_cols):
-        base = max(len(c.dictionary), 1) + 1 if c.dtype.is_string else 3
-        code = jnp.where(c.valid, c.data.astype(jnp.int32) + 1, 0)
+    for i in reversed(range(len(key_cols))):
+        c = key_cols[i]
+        if c.dtype.is_string and c.dictionary is not None:
+            base = max(len(c.dictionary), 1) + 1
+            code = jnp.where(c.valid, c.data.astype(jnp.int32) + 1, 0)
+        elif c.dtype.is_bool:
+            base = 3
+            code = jnp.where(c.valid, c.data.astype(jnp.int32) + 1, 0)
+        else:  # probed small-range integer
+            mn, base_n = int_ranges[i]
+            base = base_n + 1
+            code = jnp.where(
+                c.valid,
+                jnp.clip(c.data.astype(jnp.int64) - mn, 0, base_n - 1).astype(jnp.int32) + 1,
+                0,
+            )
         gid = gid + code * stride
         stride *= base
     gid = jnp.where(alive, gid, domain)
