@@ -32,16 +32,26 @@ def main():
     ctx.register_table("lineitem", t)
     sql = get_query_sql(1)
 
+    import numpy as np
+
+    def sync(res):
+        # ONE tiny D2H on the last-enqueued column: device streams execute
+        # in order, so this proves every column's program completed.  (A
+        # per-column jax.block_until_ready costs one ~30ms RPC round trip
+        # PER ARRAY through the remote-TPU tunnel and would swamp the
+        # measurement with harness overhead.)
+        _ = np.asarray(res.columns[-1].data[:1])
+
     # warm-up (compiles the fused stage)
     out = ctx.sql(sql).collect()
+    sync(out)
     assert out.nrows >= 1
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         res = ctx.sql(sql).collect()
-        for c in res.columns:
-            jax.block_until_ready(c.data)
+        sync(res)
         times.append((time.perf_counter() - t0) * 1000)
 
     ms = statistics.median(times)
