@@ -146,6 +146,11 @@ def bench(sf: float, queries: list[int], iterations: int = 3) -> dict:
         for i in range(iterations):
             t0 = time.perf_counter()
             t = run_query(ctx, q)
+            # one tiny D2H on the last column: in-order device streams make
+            # this the completion barrier for the whole query (per-array
+            # block_until_ready costs an RPC round trip per column)
+            if t is not None and t.num_columns:
+                np.asarray(t.columns[-1].data[:1])
             times.append(time.perf_counter() - t0)
         timings[q] = times
         print(f"q{q}: " + ", ".join(f"{x*1000:.1f}ms" for x in times))

@@ -516,6 +516,14 @@ class SqlToRel:
                 udf = self.provider.get_function(node.name)
                 if udf is not None:
                     return ScalarUDFExpr(udf, node.args)
+            if isinstance(node, Column) and node.name.startswith("@"):
+                # @var / @@sysvar -> VarProvider lookup (variable/mod.rs:33)
+                v = self.provider.get_variable(node.name)
+                if v is None:
+                    raise PlanError(f"variable '{node.name}' is not defined")
+                from ..logical.expr import Literal as _Lit
+
+                return _Lit(v)
             if isinstance(node, Column) and not node.name.startswith("@"):
                 try:
                     f = schema.field_from_column(node.name, node.relation)
