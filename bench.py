@@ -8,6 +8,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline > 1 means faster than the reference.
 """
 
+import os as _os
+
+_os.environ.setdefault(
+    "DATAFUSION_TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+)
 import json
 import os
 import statistics

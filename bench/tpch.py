@@ -12,6 +12,13 @@ Usage:
 
 from __future__ import annotations
 
+import os as _os
+
+_os.environ.setdefault(
+    "DATAFUSION_TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "../.jax_cache"),
+)
+
 import argparse
 import sys
 import time
