@@ -109,15 +109,28 @@ class StringDict:
         """Merge two sorted dicts; returns (merged, remap_a, remap_b).
 
         Used to harmonize two string columns before a cross-column compare /
-        join / union (host-side bind step; device work is one gather)."""
+        join / union (host-side bind step; device work is one gather).
+        Memoized by input identity: repeated queries then produce the SAME
+        merged dictionary object, keeping downstream jit-cache keys (which
+        include dictionary identities) stable across executions."""
         if a is b:
             n = len(a)
             ident = np.arange(n, dtype=np.int32)
             return a, ident, ident
+        key = (a._id, b._id)
+        cached = _MERGE_CACHE.get(key)
+        if cached is not None:
+            return cached
         union = np.unique(
             np.concatenate([a.values.astype(str), b.values.astype(str)])
         )
         merged = StringDict(union.astype(object))
         remap_a = np.searchsorted(union, a.values.astype(str)).astype(np.int32)
         remap_b = np.searchsorted(union, b.values.astype(str)).astype(np.int32)
+        if len(_MERGE_CACHE) > 4096:
+            _MERGE_CACHE.clear()
+        _MERGE_CACHE[key] = (merged, remap_a, remap_b)
         return merged, remap_a, remap_b
+
+
+_MERGE_CACHE: dict = {}

@@ -22,6 +22,7 @@ capacity-estimation strategy from SURVEY.md §7 'hard parts' (a).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,6 +87,165 @@ class HashJoinExec(ExecutionPlan):
 
 
 def join_tables(lt: Table, rt: Table, on, join_type: str, filter, metrics=None) -> Table:
+    """Equi-join dispatcher: inner/semi/anti run through the two-phase
+    jitted path (count program -> expand/verify/materialize program; two
+    host syncs total); left/right/full keep the composed path."""
+    if join_type in ("inner", "semi", "anti"):
+        return _join_tables_jit(lt, rt, on, join_type, filter, metrics)
+    return _join_tables_eager(lt, rt, on, join_type, filter, metrics)
+
+
+# ---------------------------------------------------------------------------
+# two-phase jitted join
+# ---------------------------------------------------------------------------
+
+_JOIN_JIT_CACHE: dict = {}
+
+
+def _table_sig(t: Table):
+    return (
+        tuple(t.names),
+        tuple((str(c.dtype), c.capacity, id(c.dictionary)) for c in t.columns),
+    )
+
+
+def _join_keys(ltv: Table, rtv: Table, on):
+    """Evaluate + harmonize key columns (dictionary LUTs are trace-time
+    constants; StringDict.merge memoizes so identities stay stable)."""
+    lkeys, rkeys = [], []
+    for le, re_ in on:
+        lc = le.evaluate(ltv)
+        rc = re_.evaluate(rtv)
+        if lc.dtype.is_string and rc.dtype.is_string:
+            lc, rc = harmonize_strings(lc, rc)
+        lkeys.append(lc)
+        rkeys.append(rc)
+    return lkeys, rkeys
+
+
+def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
+    lcap, rcap = lt.capacity, rt.capacity
+    base_key = (_table_sig(lt), _table_sig(rt), repr(on), join_type, repr(filter))
+
+    entry_a = _JOIN_JIT_CACHE.get(("A",) + base_key)
+    if entry_a is None:
+
+        def phase_a(ld, lv, nl, rd, rv, nr):
+            ltv = _view(lt, ld, lv)
+            rtv = _view(rt, rd, rv)
+            lkeys, rkeys = _join_keys(ltv, rtv, on)
+            lhash = K.hash_columns(
+                [K.hashable_key(c.data, c.dtype) for c in lkeys],
+                [c.valid for c in lkeys],
+            )
+            rhash = K.hash_columns(
+                [K.hashable_key(c.data, c.dtype) for c in rkeys],
+                [c.valid for c in rkeys],
+            )
+            sorted_hash, build_order = K.join_build_sort(rhash, nr)
+            probe_ok = jnp.arange(lcap) < nl
+            for c in lkeys:
+                probe_ok = probe_ok & c.valid
+            lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
+            return lo, counts, build_order, jnp.sum(counts)
+
+        entry_a = jax.jit(phase_a)
+        _JOIN_JIT_CACHE[("A",) + base_key] = entry_a
+
+    ld = tuple(c.data for c in lt.columns)
+    lv = tuple(c.valid for c in lt.columns)
+    rd = tuple(c.data for c in rt.columns)
+    rv = tuple(c.valid for c in rt.columns)
+    nl, nr = np.int64(lt.nrows), np.int64(rt.nrows)
+    lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
+    total = int(total_dev)  # sync 1
+    out_cap = round_capacity(max(total, 1))
+    if metrics is not None:
+        metrics.counter("join_candidates").add(total)
+
+    entry_b = _JOIN_JIT_CACHE.get(("B", out_cap) + base_key)
+    if entry_b is None:
+
+        def phase_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order):
+            ltv = _view(lt, ld, lv)
+            rtv = _view(rt, rd, rv)
+            lkeys, rkeys = _join_keys(ltv, rtv, on)
+            lord = tuple(K.orderable_key(c.data, c.dtype) for c in lkeys)
+            rord = tuple(K.orderable_key(c.data, c.dtype) for c in rkeys)
+            lval = tuple(c.valid for c in lkeys)
+            rval = tuple(c.valid for c in rkeys)
+            probe_idx, build_idx, pair_alive, _tot = K.join_expand(
+                lo, counts, build_order, out_cap
+            )
+            ok = K.verify_equal(
+                lord, lval, rord, rval, probe_idx, build_idx, pair_alive
+            )
+            if filter is not None:
+                pair_table = _gather_pair_table(ltv, rtv, probe_idx, build_idx, out_cap)
+                fres = filter.evaluate(pair_table)
+                ok = ok & fres.data.astype(bool) & fres.valid
+
+            if join_type == "inner":
+                order = jnp.argsort(~ok, stable=True)
+                cnt = jnp.sum(ok)
+                live = jnp.arange(out_cap) < cnt
+                pc = probe_idx[order]
+                bc = build_idx[order]
+                out_d = [d[pc] for d in ld] + [d[bc] for d in rd]
+                out_v = [v[pc] & live for v in lv] + [v[bc] & live for v in rv]
+                return tuple(out_d), tuple(out_v), cnt
+
+            # semi / anti: per-probe any-match from the contiguous candidate
+            # runs (probe_idx is non-decreasing) — prefix sums, no scatter
+            cum = jnp.cumsum(counts)
+            starts = cum - counts
+            mc = jnp.cumsum(ok.astype(jnp.int32))
+            hi = jnp.clip(cum - 1, 0, out_cap - 1)
+            lo_prev = jnp.clip(starts - 1, 0, out_cap - 1)
+            in_run = mc[hi] - jnp.where(starts > 0, mc[lo_prev], 0)
+            matched = (counts > 0) & (in_run > 0)
+            l_alive = jnp.arange(lcap) < nl
+            keep = (matched if join_type == "semi" else ~matched) & l_alive
+            cnt = jnp.sum(keep)
+            order = jnp.argsort(~keep, stable=True)
+            live = jnp.arange(lcap) < cnt
+            out_d = [d[order] for d in ld]
+            out_v = [v[order] & live for v in lv]
+            return tuple(out_d), tuple(out_v), cnt
+
+        entry_b = jax.jit(phase_b)
+        _JOIN_JIT_CACHE[("B", out_cap) + base_key] = entry_b
+        if len(_JOIN_JIT_CACHE) > 512:
+            _JOIN_JIT_CACHE.clear()
+
+    out_d, out_v, cnt_dev = entry_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
+    cnt = int(cnt_dev)  # sync 2
+
+    if join_type == "inner":
+        names = list(lt.names) + list(rt.names)
+        dts = [c.dtype for c in lt.columns] + [c.dtype for c in rt.columns]
+        dics = [c.dictionary for c in lt.columns] + [c.dictionary for c in rt.columns]
+    else:
+        names = list(lt.names)
+        dts = [c.dtype for c in lt.columns]
+        dics = [c.dictionary for c in lt.columns]
+    cols = [Column(dt, d, v, dic) for dt, dic, d, v in zip(dts, dics, out_d, out_v)]
+    out = Table(names, cols, cnt)
+    tgt = round_capacity(max(cnt, 1))
+    if tgt < out.capacity:
+        out = out.with_capacity(tgt)
+    return out
+
+
+def _view(base: Table, datas, valids) -> Table:
+    cols = [
+        Column(c.dtype, d, v, c.dictionary)
+        for c, d, v in zip(base.columns, datas, valids)
+    ]
+    return Table(list(base.names), cols, 0)
+
+
+def _join_tables_eager(lt: Table, rt: Table, on, join_type: str, filter, metrics=None) -> Table:
     lcap, rcap = lt.capacity, rt.capacity
     nl, nr = np.int64(lt.nrows), np.int64(rt.nrows)
 
