@@ -60,6 +60,11 @@ class PhysAggExpr:
         self.fun = fun.lower()
         if self.fun == "mean":
             self.fun = "avg"
+        if self.fun == "approx_distinct":
+            # hyperloglog_expressions.rs equivalent: exact distinct count is
+            # a valid (and on this engine, cheap sort-based) approximation
+            self.fun = "count"
+            distinct = True
         self.expr = expr  # None => COUNT(*)
         self.name = name
         self.distinct = distinct

@@ -236,6 +236,13 @@ class WindowAggExec(ExecutionPlan):
                 return seg_lo, peer_end
             return seg_lo, seg_hi
 
+        if frame.units == "range" and (
+            frame.start.offset is not None or frame.end.offset is not None
+        ):
+            return self._range_offset_bounds(
+                w, t, gid, seg_start, seg_size, alive, seg_lo, seg_hi, cap, frame
+            )
+
         if frame.units in ("range", "groups"):
             if frame.start.offset is not None or frame.end.offset is not None:
                 raise PlanError(
@@ -255,6 +262,67 @@ class WindowAggExec(ExecutionPlan):
             else:
                 raise PlanError("frame end UNBOUNDED PRECEDING is invalid")
             return lo, hi
+
+        return self._rows_bounds(frame, gid, seg_lo, seg_hi, cap)
+
+    def _range_offset_bounds(
+        self, w, t, gid, seg_start, seg_size, alive, seg_lo, seg_hi, cap, frame
+    ):
+        """RANGE BETWEEN x PRECEDING AND y FOLLOWING over ONE numeric ORDER
+        BY key (SQL requires a single key for offset RANGE frames): per-row
+        vectorized bisect for the first/last peer whose key lies within
+        [cur - x, cur + y] — ~log2(cap) gathers, no loops over rows."""
+        if len(w.order_by) != 1:
+            raise PlanError("RANGE with offsets requires exactly one ORDER BY key")
+        s = w.order_by[0]
+        c = s.expr.evaluate(t)
+        key = K.orderable_key(c.data, c.dtype)
+        if s.ascending is False:
+            key = -key  # frames are defined on the sort direction's axis
+        i = jnp.arange(cap)
+        cur = key[jnp.clip(i, 0, cap - 1)]
+
+        def bisect_left(target):
+            lo, hi = seg_lo, jnp.minimum(seg_hi + 1, cap)
+            for _ in range(int(np.ceil(np.log2(max(cap, 2)))) + 1):
+                mid = (lo + hi) // 2
+                midc = jnp.clip(mid, 0, cap - 1)
+                go = key[midc] < target
+                lo = jnp.where(go, mid + 1, lo)
+                hi = jnp.where(go, hi, mid)
+            return lo
+
+        # start bound
+        if frame.start.kind == "preceding":
+            if frame.start.offset is None:
+                lo_idx = seg_lo
+            else:
+                lo_idx = bisect_left(cur - int(frame.start.offset))
+        elif frame.start.kind == "current":
+            lo_idx = bisect_left(cur)
+        else:  # following with offset
+            lo_idx = bisect_left(cur + int(frame.start.offset))
+        # end bound: first index with key > bound, minus 1
+        if frame.end.kind == "following":
+            if frame.end.offset is None:
+                hi_idx = seg_hi
+            else:
+                hi_idx = bisect_left(cur + int(frame.end.offset) + 1) - 1
+        elif frame.end.kind == "current":
+            hi_idx = bisect_left(cur + 1) - 1
+        else:  # preceding with offset
+            hi_idx = bisect_left(cur - int(frame.end.offset) + 1) - 1
+        lo_idx = jnp.maximum(lo_idx, seg_lo)
+        hi_idx = jnp.minimum(hi_idx, seg_hi)
+        # NULL order keys sort into one run; their frame is that peer group
+        nv = ~c.valid
+        ps, pe = self._peer_bounds(w, t, gid, seg_start, seg_size, alive, cap)
+        lo_idx = jnp.where(nv, ps, lo_idx)
+        hi_idx = jnp.where(nv, pe, hi_idx)
+        return lo_idx, hi_idx
+
+    def _rows_bounds(self, frame, gid, seg_lo, seg_hi, cap):
+        i = jnp.arange(cap)
 
         # ROWS
         def bound(b, is_start):

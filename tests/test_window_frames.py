@@ -64,6 +64,11 @@ FRAMES = [
     "sum(v) OVER (ORDER BY g NULLS FIRST, k, v NULLS FIRST ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)",
     # unbounded both sides
     "sum(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    # RANGE frames with numeric offsets (per-row bisect over the order key)
+    "sum(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)",
+    "sum(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+    "count(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING)",
+    "avg(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING)",
 ]
 
 
