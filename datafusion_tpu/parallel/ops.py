@@ -430,25 +430,20 @@ def dist_join(
         for pk, pv, bk, bv in zip(lord, lkv, rord, rkv):
             ok = ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
 
-        # compact verified pairs
-        pos = jnp.cumsum(ok) - 1
-        tgt = jnp.where(ok, pos, out_cap)
+        # compact verified pairs: stable argsort + gathers (a scatter here
+        # costs ~100x more on TPU; see bench/MICRO.md)
+        n_out = jnp.sum(ok)
+        order = jnp.argsort(~ok, stable=True)
+        live = jnp.arange(out_cap) < n_out
+        pc = probe_idx[order]
+        bc = build_idx[order]
         outs_d, outs_v = [], []
         for d, v in zip(sl_d[:nl], sl_v[:nl]):
-            outs_d.append(
-                jnp.zeros(out_cap, d.dtype).at[tgt].set(d[probe_idx], mode="drop")
-            )
-            outs_v.append(
-                jnp.zeros(out_cap, bool).at[tgt].set(v[probe_idx] & ok, mode="drop")
-            )
+            outs_d.append(d[pc])
+            outs_v.append(v[pc] & live)
         for d, v in zip(sr_d[:nr], sr_v[:nr]):
-            outs_d.append(
-                jnp.zeros(out_cap, d.dtype).at[tgt].set(d[build_idx], mode="drop")
-            )
-            outs_v.append(
-                jnp.zeros(out_cap, bool).at[tgt].set(v[build_idx] & ok, mode="drop")
-            )
-        n_out = jnp.sum(ok)
+            outs_d.append(d[bc])
+            outs_v.append(v[bc] & live)
         overflow = jnp.maximum(total - out_cap, 0)
         return (
             n_out.reshape(1).astype(jnp.int64),

@@ -112,6 +112,20 @@ def test_dist_aggregate_no_group():
 
 
 @needs_devices
+def test_dist_join_skewed_fanout_retry():
+    """A hot key with large fanout overflows the initial capacity estimate
+    and triggers the host-level fanout retry (SURVEY §7 hard part (f))."""
+    n = 256
+    lt = Table.from_pydict({"k": ["hot"] * n, "x": list(range(n))})
+    rt = Table.from_pydict({"k": ["hot"] * 16, "y": list(range(16))})
+    mesh = make_mesh(4)
+    sl = ShardedTable.from_table(lt, mesh)
+    sr = ShardedTable.from_table(rt, mesh)
+    out = dist_join(sl, sr, [(col(lt, "k"), col(rt, "k"))], "inner")
+    assert out.total_rows() == n * 16
+
+
+@needs_devices
 def test_dist_join_matches_single_device():
     lt = table(400, seed=1)
     rt = Table.from_pydict(
