@@ -97,7 +97,7 @@ def test_multiprocess_cluster_query(cluster):
     )
     job = client.execute_query(serde.plan_to_dict(plan))
 
-    deadline = time.time() + 120
+    deadline = time.time() + 360  # subprocess jax import + XLA compiles
     status = None
     while time.time() < deadline:
         status = client.get_job_status(job)
