@@ -340,6 +340,13 @@ class PhysBinary(PhysicalExpr):
             raise PlanError(f"cannot apply {op} to {l.dtype!r}, {r.dtype!r}")
 
         if op in ("=", "!=", "<", "<=", ">", ">="):
+            # decimal vs float LITERAL: compare on the scaled-int axis with
+            # an exact host-computed threshold.  Going through f64 on device
+            # is wrong on TPU: emulated f64 division is not IEEE-exact, so
+            # decimal->f64 of 0.05 lands below the 0.05 literal.
+            out = _decimal_float_literal_compare(l, r, op)
+            if out is not None:
+                return out
             lc = cast_column(l, common)
             rc = cast_column(r, common)
             return _compare(lc.data, rc.data, lc.valid & rc.valid, op)
@@ -448,6 +455,55 @@ def _temporal_arith(l: CVec, r: CVec, op: str) -> Optional[CVec]:
     if lt in (INTERVAL_YM, INTERVAL_DT) and rt == lt and op in ("+", "-"):
         out = l.data + r.data if op == "+" else l.data - r.data
         return CVec(lt, out, valid)
+    return None
+
+
+_FLIP_OP = {"=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def _decimal_float_literal_compare(l: CVec, r: CVec, op: str) -> CVec | None:
+    """decimal column OP float literal as an EXACT scaled-int comparison.
+
+    The threshold is derived host-side with python's IEEE doubles:
+      data/s OP x  <=>  data OP' t  for integer t, s = 10**scale.
+    Returns None when the pattern does not apply (non-literal float, or
+    both decimals)."""
+    import math
+
+    if l.dtype.is_decimal and r.dtype.is_float and getattr(r, "literal", None) is not None:
+        dec, lit = l, r.literal.value
+    elif r.dtype.is_decimal and l.dtype.is_float and getattr(l, "literal", None) is not None:
+        dec, lit = r, l.literal.value
+        op = _FLIP_OP[op]
+    else:
+        return None
+    if lit is None:
+        cap = dec.data.shape[0]
+        return CVec(BOOL, jnp.zeros(cap, bool), jnp.zeros(cap, bool))
+    from fractions import Fraction
+
+    # exact rational semantics: the decimal value IS d / 10^scale, the f64
+    # literal IS an exact binary rational — so  d/s OP x  <=>  d OP x*s
+    # with x*s computed exactly (Fraction), no epsilon anywhere
+    fx = Fraction(float(lit)) * (10 ** dec.dtype.scale)
+    valid = dec.valid & (l.valid & r.valid)
+    d = dec.data.astype(jnp.int64)
+    if op == "=":
+        if fx.denominator != 1:
+            return CVec(BOOL, jnp.zeros_like(d, bool), valid)
+        return CVec(BOOL, d == int(fx), valid)
+    if op == "!=":
+        if fx.denominator != 1:
+            return CVec(BOOL, jnp.ones_like(d, bool), valid)
+        return CVec(BOOL, d != int(fx), valid)
+    if op == ">=":
+        return CVec(BOOL, d >= int(math.ceil(fx)), valid)
+    if op == ">":
+        return CVec(BOOL, d > int(math.floor(fx)), valid)
+    if op == "<=":
+        return CVec(BOOL, d <= int(math.floor(fx)), valid)
+    if op == "<":
+        return CVec(BOOL, d < int(math.ceil(fx)), valid)
     return None
 
 
