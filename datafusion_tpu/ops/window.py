@@ -243,6 +243,13 @@ class WindowAggExec(ExecutionPlan):
                 w, t, gid, seg_start, seg_size, alive, seg_lo, seg_hi, cap, frame
             )
 
+        if frame.units == "groups" and (
+            frame.start.offset is not None or frame.end.offset is not None
+        ):
+            return self._groups_offset_bounds(
+                w, t, gid, seg_start, seg_size, alive, seg_lo, seg_hi, cap, frame
+            )
+
         if frame.units in ("range", "groups"):
             if frame.start.offset is not None or frame.end.offset is not None:
                 raise PlanError(
@@ -264,6 +271,56 @@ class WindowAggExec(ExecutionPlan):
             return lo, hi
 
         return self._rows_bounds(frame, gid, seg_lo, seg_hi, cap)
+
+    def _groups_offset_bounds(
+        self, w, t, gid, seg_start, seg_size, alive, seg_lo, seg_hi, cap, frame
+    ):
+        """GROUPS BETWEEN x PRECEDING AND y FOLLOWING: frame spans whole
+        ORDER BY peer groups.  The dense peer index within each partition is
+        non-decreasing, so the same vectorized bisect as RANGE offsets
+        applies with the peer index as the key."""
+        okeys = [s.expr.evaluate(t) for s in w.order_by]
+        boundary = jnp.zeros(cap, bool).at[0].set(True)
+        for c in okeys:
+            k = K.orderable_key(c.data, c.dtype)
+            boundary = boundary | (k != jnp.roll(k, 1)) | (c.valid != jnp.roll(c.valid, 1))
+        boundary = (boundary | (gid != jnp.roll(gid, 1))).at[0].set(True)
+        # peer index within partition (restarts at each partition boundary)
+        peer_global = jnp.cumsum(boundary.astype(jnp.int64))
+        base = peer_global[jnp.clip(seg_lo, 0, cap - 1)]
+        peer = peer_global - base  # 0-based group index within partition
+        i = jnp.arange(cap)
+        cur = peer
+
+        def bisect_left(target):
+            lo, hi = seg_lo, jnp.minimum(seg_hi + 1, cap)
+            for _ in range(int(np.ceil(np.log2(max(cap, 2)))) + 1):
+                mid = (lo + hi) // 2
+                midc = jnp.clip(mid, 0, cap - 1)
+                go = peer[midc] < target
+                lo = jnp.where(go, mid + 1, lo)
+                hi = jnp.where(go, hi, mid)
+            return lo
+
+        if frame.start.kind == "preceding":
+            lo_idx = seg_lo if frame.start.offset is None else bisect_left(
+                cur - int(frame.start.offset)
+            )
+        elif frame.start.kind == "current":
+            lo_idx = bisect_left(cur)
+        else:
+            lo_idx = bisect_left(cur + int(frame.start.offset))
+        if frame.end.kind == "following":
+            hi_idx = seg_hi if frame.end.offset is None else bisect_left(
+                cur + int(frame.end.offset) + 1
+            ) - 1
+        elif frame.end.kind == "current":
+            hi_idx = bisect_left(cur + 1) - 1
+        else:
+            hi_idx = bisect_left(cur - int(frame.end.offset) + 1) - 1
+        lo_idx = jnp.maximum(lo_idx, seg_lo)
+        hi_idx = jnp.minimum(hi_idx, seg_hi)
+        return lo_idx, hi_idx
 
     def _range_offset_bounds(
         self, w, t, gid, seg_start, seg_size, alive, seg_lo, seg_hi, cap, frame

@@ -64,6 +64,10 @@ FRAMES = [
     "sum(v) OVER (ORDER BY g NULLS FIRST, k, v NULLS FIRST ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)",
     # unbounded both sides
     "sum(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    # GROUPS frames (peer-group offsets via bisect over dense peer ids)
+    "sum(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+    "sum(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+    "count(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING)",
     # RANGE frames with numeric offsets (per-row bisect over the order key)
     "sum(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)",
     "sum(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
