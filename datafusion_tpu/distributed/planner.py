@@ -195,7 +195,27 @@ class DistributedPlanner:
                 new_inputs.append(cc)
             return p.with_new_children(new_inputs), 1
 
-        if isinstance(p, (SortExec, GlobalLimitExec, SkipExec, WindowAggExec)):
+        if isinstance(p, GlobalLimitExec):
+            # LocalLimitExec pattern (limit.rs:146): push a per-partition
+            # limit (TopK when sorted) into the producing stage so only
+            # n rows per partition cross the shuffle
+            inner = p.input
+            if isinstance(inner, SortExec):
+                child, n = self._walk(inner.input)
+                if n > 1:
+                    local = SortExec(inner.sort_exprs, child, fetch=p.n)
+                    reader, _ = self._coalesce(local, n)
+                    merged = SortExec(inner.sort_exprs, reader, inner.fetch)
+                    return GlobalLimitExec(p.n, merged), 1
+                return p.with_new_children([inner.with_new_children([child])]), 1
+            child, n = self._walk(inner)
+            if n > 1:
+                local = GlobalLimitExec(p.n, child)
+                reader, _ = self._coalesce(local, n)
+                return GlobalLimitExec(p.n, reader), 1
+            return p.with_new_children([child]), 1
+
+        if isinstance(p, (SortExec, SkipExec, WindowAggExec)):
             child, n = self._walk(p.children()[0])
             child, _ = self._coalesce(child, n)
             return p.with_new_children([child]), 1

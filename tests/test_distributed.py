@@ -174,6 +174,30 @@ def test_stage_split_join():
     assert final.num_input_partitions == 4
 
 
+def test_local_topk_pushdown():
+    """ORDER BY + LIMIT pushes a per-partition TopK into the producing
+    stage (LocalLimitExec pattern) — only n rows per partition shuffle."""
+    from datafusion_tpu.ops.sort import SortExec as _SortExec
+
+    stages, final = _plan_stages(
+        "SELECT v FROM t ORDER BY v DESC LIMIT 3", {"t": small_table()}
+    )
+    # the producing (coalesce) stage ends in a fetch-limited sort
+    prod = stages[0]
+    node = prod.plan.plan
+    while not isinstance(node, _SortExec):
+        node = node.children()[0]
+    assert node.fetch == 3
+    # and the result is correct end-to-end
+    ctx = DistributedContext(standalone=True, num_executors=2, target_partitions=3)
+    try:
+        ctx.register_table("t", small_table())
+        out = ctx.sql("SELECT v FROM t ORDER BY v DESC LIMIT 3").collect()
+        assert out.to_pydict() == {"v": [10, 9, 8]}
+    finally:
+        ctx.close()
+
+
 def test_stage_split_sort_coalesces():
     stages, final = _plan_stages(
         "SELECT v FROM t ORDER BY v DESC", {"t": small_table()}
