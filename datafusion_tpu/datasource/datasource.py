@@ -22,12 +22,23 @@ from ..types import Schema
 
 
 @dataclass
+class ColumnStatistics:
+    """Per-column stats (reference physical_plan ColumnStatistics)."""
+
+    null_count: int | None = None
+    min_value: object = None  # in storage semantics (date32 days, scaled dec)
+    max_value: object = None
+    distinct_count: int | None = None
+
+
+@dataclass
 class Statistics:
     """Reference physical_plan Statistics: row count, sizes, per-column."""
 
     num_rows: int | None = None
     total_byte_size: int | None = None
     is_exact: bool = False
+    column_statistics: dict | None = None  # name -> ColumnStatistics
 
 
 class TableProvider:

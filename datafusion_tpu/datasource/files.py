@@ -218,15 +218,44 @@ class ParquetTable(_FileTable):
     def statistics(self) -> Statistics:
         import pyarrow.parquet as pq
 
+        from .datasource import ColumnStatistics
+
         rows = 0
         size = 0
+        col_stats: dict = {}
+        complete = {f.name: True for f in self._schema.fields}
         for p in self.paths:
             md = pq.ParquetFile(p).metadata
             rows += md.num_rows
-            size += sum(
-                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
-            )
-        return Statistics(num_rows=rows, total_byte_size=size, is_exact=True)
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                size += rg.total_byte_size
+                for ci, f in enumerate(self._schema.fields):
+                    st = rg.column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        complete[f.name] = False
+                        continue
+                    mn = _plain_stat(st.min, f.dtype)
+                    mx = _plain_stat(st.max, f.dtype)
+                    if mn is None or mx is None:
+                        complete[f.name] = False
+                        continue
+                    cs = col_stats.setdefault(
+                        f.name, ColumnStatistics(null_count=0, min_value=mn, max_value=mx)
+                    )
+                    cs.min_value = min(cs.min_value, mn)
+                    cs.max_value = max(cs.max_value, mx)
+                    if st.null_count is None or cs.null_count is None:
+                        cs.null_count = None
+                    else:
+                        cs.null_count += st.null_count
+        col_stats = {n: s for n, s in col_stats.items() if complete.get(n)}
+        return Statistics(
+            num_rows=rows,
+            total_byte_size=size,
+            is_exact=True,
+            column_statistics=col_stats or None,
+        )
 
     def _read_arrow(self, columns):
         import pyarrow as pa

@@ -45,22 +45,60 @@ def _is_count_star(e) -> bool:
     return isinstance(a, Literal) and a.value.value is not None
 
 
+def _fold_from_stats(e, plan) -> "Literal | None":
+    """Constant for this aggregate from exact statistics, or None.
+
+    COUNT(*) -> row count; MIN/MAX(col) -> column stats (parquet footers)
+    when the column has no nulls unaccounted (min/max of non-null values is
+    what both the stat and the aggregate mean, so null_count is fine)."""
+    from ..types.dtypes import INT64 as _I64
+
+    inner = e.expr if isinstance(e, Alias) else e
+    if not isinstance(inner, AggregateFunction):
+        return None
+    n = _exact_row_count(plan)
+    if _is_count_star(e):
+        return Literal(ScalarValue(_I64, n)) if n is not None else None
+    if inner.fun.lower() not in ("min", "max") or inner.distinct:
+        return None
+    if len(inner.args) != 1:
+        return None
+    from ..logical.expr import Column as _Col
+
+    arg = inner.args[0]
+    if not isinstance(arg, _Col):
+        return None
+    # locate the scan + its column stats (same zero-work conditions)
+    p = plan
+    while isinstance(p, (L.SubqueryAlias, L.Projection)):
+        p = p.input
+    if not isinstance(p, L.TableScan) or p.filters or p.limit is not None:
+        return None
+    st = p.source.statistics()
+    if not st.is_exact or not st.column_statistics:
+        return None
+    cs = st.column_statistics.get(arg.name)
+    if cs is None:
+        return None
+    v = cs.min_value if inner.fun.lower() == "min" else cs.max_value
+    if v is None:
+        return None
+    f = p.source.schema().field_with_name(arg.name)
+    return Literal(ScalarValue(f.dtype, v))
+
+
 class AggregateStatistics(OptimizerRule):
     name = "aggregate_statistics"
 
     def optimize(self, plan):
         def rewrite(p):
-            if not isinstance(p, L.Aggregate) or p.group_expr:
+            if not isinstance(p, L.Aggregate) or p.group_expr or not p.aggr_expr:
                 return p
-            if not p.aggr_expr or not all(_is_count_star(a) for a in p.aggr_expr):
-                return p
-            n = _exact_row_count(p.input)
-            if n is None:
+            folded = [_fold_from_stats(a, p.input) for a in p.aggr_expr]
+            if any(f is None for f in folded):
                 return p
             out_fields = p.schema().fields
-            exprs = [
-                Alias(Literal(ScalarValue(INT64, n)), f.name) for f in out_fields
-            ]
+            exprs = [Alias(lit, f.name) for lit, f in zip(folded, out_fields)]
             return L.Projection(exprs, L.EmptyRelation(True, DFSchema.empty()))
 
         return transform_plan_up(plan, rewrite)

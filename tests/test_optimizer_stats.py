@@ -74,6 +74,33 @@ def test_build_probe_order_swaps_smaller_left():
     assert out.to_pydict() == {"x": [1, 2, 3], "y": [1, 2, 3]}
 
 
+def test_min_max_from_parquet_stats(tmp_path):
+    """MIN/MAX over an unfiltered parquet scan folds to footer statistics
+    (aggregate_statistics.rs MIN/MAX path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table({"a": [5, 1, 9, 3], "s": ["m", "a", "z", "k"]}), p, row_group_size=2
+    )
+    ctx = ExecutionContext()
+    ctx.register_parquet("t", str(p))
+    plan = _optimized(ctx, "SELECT min(a), max(a), max(s) FROM t")
+
+    def has_scan(pl):
+        if isinstance(pl, L.TableScan):
+            return True
+        return any(has_scan(i) for i in pl.inputs())
+
+    assert not has_scan(plan)  # folded to constants, no scan
+    out = ctx.sql("SELECT min(a) AS mn, max(a) AS mx, max(s) AS ms FROM t").collect()
+    assert out.to_pydict() == {"mn": [1], "mx": [9], "ms": ["z"]}
+    # with a filter the fold must NOT fire
+    out2 = ctx.sql("SELECT min(a) AS mn FROM t WHERE a > 3").collect()
+    assert out2.to_pydict() == {"mn": [5]}
+
+
 # ---------------------------------------------------------------------------
 # pruning
 # ---------------------------------------------------------------------------
