@@ -174,6 +174,14 @@ class DistributedPlanner:
                 left, _ = self._coalesce(left, ln)
                 right, _ = self._coalesce(right, rn)
                 return p.with_new_children([left, right]), 1
+            # broadcast mode (PartitionMode::CollectLeft, hash_join.rs:285):
+            # a single-partition build side is read whole by every probe
+            # task — the big probe side never shuffles.  Valid when
+            # unmatched-build rows are not emitted per partition.
+            if rn == 1 and ln > 1 and p.join_type in ("inner", "left", "semi", "anti"):
+                return p.with_new_children([left, right]), ln
+            if ln == 1 and rn > 1 and p.join_type == "inner":
+                return p.with_new_children([left, right]), rn
             lkeys = [l for l, _ in p.on]
             rkeys = [r for _, r in p.on]
             lreader, m = self._shuffle_boundary(left, ln, lkeys)

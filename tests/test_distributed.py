@@ -174,6 +174,30 @@ def test_stage_split_join():
     assert final.num_input_partitions == 4
 
 
+def test_broadcast_join_single_partition_build():
+    """A single-partition build side (aggregated subquery) broadcasts to
+    every probe task: the probe side never shuffles
+    (PartitionMode::CollectLeft, hash_join.rs:285)."""
+    t = small_table()
+    stages, final = _plan_stages(
+        "SELECT t.k, t.v FROM t JOIN "
+        "(SELECT max(v) AS mv FROM t) m ON t.v = m.mv",
+        {"t": t},
+    )
+    # no hash-shuffle stage for the probe side: only coalesce boundaries
+    assert all(s.plan.partition_exprs is None for s in stages)
+    ctx = DistributedContext(standalone=True, num_executors=2, target_partitions=3)
+    try:
+        ctx.register_table("t", t)
+        out = ctx.sql(
+            "SELECT t.k, t.v FROM t JOIN (SELECT max(v) AS mv FROM t) m "
+            "ON t.v = m.mv"
+        ).collect()
+        assert out.to_pydict() == {"k": ["b"], "v": [10]}
+    finally:
+        ctx.close()
+
+
 def test_local_topk_pushdown():
     """ORDER BY + LIMIT pushes a per-partition TopK into the producing
     stage (LocalLimitExec pattern) — only n rows per partition shuffle."""
