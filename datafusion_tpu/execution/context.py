@@ -232,6 +232,19 @@ class ExecutionContext:
 
     def create_physical_plan(self, plan: LogicalPlan):
         planner = self.config.query_planner or DefaultPhysicalPlanner()
+        if isinstance(plan, Explain) and plan.verbose:
+            # EXPLAIN VERBOSE captures the plan after every optimizer rule
+            # (context.rs:449-476 optimize_internal observer)
+            from ..ops.basic import ExplainExec
+
+            rows = [("initial_logical_plan", plan.plan.display())]
+            cur = plan.plan
+            for rule in self.config.optimizer_rules:
+                cur = rule.optimize(cur)
+                rows.append((f"logical_plan after {rule.name}", cur.display()))
+            phys_inner = planner.create_physical_plan(cur)
+            rows.append(("physical_plan", phys_inner.display()))
+            return ExplainExec(plan.schema().to_schema(), rows)
         phys = planner.create_physical_plan(plan)
         rules = self.config.physical_optimizer_rules
         if not rules:

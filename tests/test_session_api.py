@@ -77,3 +77,11 @@ def test_views(ctx):
     ctx.sql("CREATE VIEW v AS SELECT a + 1 AS b FROM t")
     assert ctx.sql("SELECT max(b) AS m FROM v").collect().to_pydict() == {"m": [3]}
     ctx.sql("DROP VIEW v")
+
+
+def test_explain_verbose_captures_rules(ctx):
+    d = ctx.sql("EXPLAIN VERBOSE SELECT a FROM t WHERE a > 1 + 1").collect().to_pydict()
+    kinds = d["plan_type"]
+    assert kinds[0] == "initial_logical_plan"
+    assert any(k.startswith("logical_plan after ") for k in kinds)
+    assert kinds[-1] == "physical_plan"
