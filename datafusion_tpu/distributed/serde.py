@@ -57,6 +57,7 @@ from ..ops.basic import (
     UnionExec,
 )
 from ..ops.join import CrossJoinExec, HashJoinExec
+from ..ops.joinagg import CrossJoinAggExec
 from ..ops.sort import PhysSortExpr, SortExec
 from ..ops.window import PhysWindowExpr, WindowAggExec
 from ..types import Field, ScalarValue, Schema
@@ -761,6 +762,17 @@ def pplan_to_dict(p: ExecutionPlan) -> dict:
             "left": pplan_to_dict(p.left),
             "right": pplan_to_dict(p.right),
         }
+    if isinstance(p, CrossJoinAggExec):
+        return {
+            "p": "cross_join_agg",
+            "left": pplan_to_dict(p.left),
+            "right": pplan_to_dict(p.right),
+            "condition": (
+                pexpr_to_dict(p.condition) if p.condition is not None else None
+            ),
+            "group": [[pexpr_to_dict(e), n] for e, n in p.group_expr],
+            "aggr": [_agg_expr_to_dict(a) for a in p.aggr_expr],
+        }
     if isinstance(p, SortExec):
         return {
             "p": "sort",
@@ -859,6 +871,14 @@ def pplan_from_dict(d: dict, store=None, work_dir: str = "") -> ExecutionPlan:
         return CrossJoinExec(
             pplan_from_dict(d["left"], store, work_dir),
             pplan_from_dict(d["right"], store, work_dir),
+        )
+    if k == "cross_join_agg":
+        return CrossJoinAggExec(
+            pplan_from_dict(d["left"], store, work_dir),
+            pplan_from_dict(d["right"], store, work_dir),
+            pexpr_from_dict(d["condition"]) if d["condition"] is not None else None,
+            [(pexpr_from_dict(e), n) for e, n in d["group"]],
+            [_agg_expr_from_dict(a) for a in d["aggr"]],
         )
     if k == "sort":
         return SortExec(

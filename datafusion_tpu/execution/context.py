@@ -72,6 +72,7 @@ def default_optimizer_rules() -> list:
     from ..optimizer.constant_folding import ConstantFolding
     from ..optimizer.decorrelate import DecorrelateSubqueries
     from ..optimizer.filter_pushdown import FilterPushDown
+    from ..optimizer.fold_crossjoin_aggregate import FoldCrossJoinAggregate
     from ..optimizer.hash_build_probe_order import HashBuildProbeOrder
     from ..optimizer.join_reorder import EliminateCrossJoins
     from ..optimizer.limit_pushdown import EliminateLimit, LimitPushDown
@@ -93,6 +94,10 @@ def default_optimizer_rules() -> list:
         HashBuildProbeOrder(),
         EliminateLimit(),
         LimitPushDown(),
+        # late: equi CrossJoin+Filter pairs have become Joins by now, so
+        # what this folds is the genuinely non-equi residue
+        # (fork joinagg.rs:96 FoldCrossJoinAggregate)
+        FoldCrossJoinAggregate(),
     ]
 
 

@@ -21,6 +21,12 @@ class ProjectionPushDown(OptimizerRule):
 
     def optimize(self, plan: LogicalPlan) -> LogicalPlan:
         refs: dict[str | None, set[str]] = {}
+        # Columns visible in the plan's OUTPUT are required even if no
+        # expression references them: a bare `ctx.table("t").collect()` (or
+        # scan under only Filter/Sort/Limit/Join pass-through nodes) must
+        # keep every scan column (projection_push_down.rs handles this by
+        # seeding required_columns from the root schema).
+        _mark_output_visible(plan, refs)
         _collect_refs(plan, refs)
         bare = refs.get(None, set())
 
@@ -37,6 +43,40 @@ class ProjectionPushDown(OptimizerRule):
             return L.TableScan(p.table_name, p.source, proj, p.filters, p.limit)
 
         return transform_plan_up(plan, fix)
+
+
+def _mark_output_visible(plan: LogicalPlan, refs: dict):
+    """Seed `refs` with scan columns that flow to the plan output through
+    schema-preserving nodes (nodes whose output is *defined* by their own
+    expressions — Projection/Aggregate/... — stop the walk)."""
+    if isinstance(plan, L.TableScan):
+        names = plan.source.schema().names()
+        sel = (
+            [names[i] for i in plan.projection]
+            if plan.projection is not None
+            else names
+        )
+        for n in sel:
+            refs.setdefault(plan.table_name, set()).add(n)
+        return
+    if isinstance(plan, (L.Filter, L.Sort, L.Limit, L.Skip, L.Distinct, L.Repartition)):
+        _mark_output_visible(plan.inputs()[0], refs)
+        return
+    if isinstance(plan, L.Window):
+        # window output = input columns + window columns
+        _mark_output_visible(plan.inputs()[0], refs)
+        return
+    if isinstance(plan, (L.Join, L.CrossJoin)):
+        for i in plan.inputs():
+            _mark_output_visible(i, refs)
+        return
+    if isinstance(plan, (L.SubqueryAlias, L.Union)):
+        for i in plan.inputs():
+            for f in i.schema().fields:
+                refs.setdefault(f.qualifier, set()).add(f.name)
+        return
+    # Projection / Aggregate / Extension / ...: output is defined by the
+    # node's own expressions, which _collect_refs gathers.
 
 
 def _collect_refs(plan: LogicalPlan, refs: dict):

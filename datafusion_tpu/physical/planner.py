@@ -65,9 +65,10 @@ class PhysicalPlanner:
 class DefaultPhysicalPlanner(PhysicalPlanner):
     def __init__(self, extension_planners: list | None = None):
         if extension_planners is None:
+            from .joinagg_planner import CrossJoinAggPlanner
             from .rolling_planner import RollingWindowPlanner
 
-            extension_planners = [RollingWindowPlanner()]
+            extension_planners = [RollingWindowPlanner(), CrossJoinAggPlanner()]
         self.extension_planners = extension_planners
 
     # ==================================================================

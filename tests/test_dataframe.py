@@ -72,3 +72,15 @@ def test_explain_and_schema(ctx):
 
 def test_select_columns(ctx):
     assert ctx.table("t").select_columns("b", "a").collect().names == ["b", "a"]
+
+
+def test_bare_table_collect_keeps_all_columns(ctx):
+    # regression: ProjectionPushDown must not prune output-visible scan
+    # columns when the scan is the plan root (no Projection above it)
+    out = ctx.table("t").collect()
+    assert out.names == ["a", "b", "c"]
+    assert out.nrows == 4
+    # ...including through pass-through nodes (filter/sort/limit)
+    out = ctx.table("t").filter(col("a") > lit(1)).sort(col("a")).limit(2).collect()
+    assert out.names == ["a", "b", "c"]
+    assert out.nrows == 2
