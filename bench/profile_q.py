@@ -1,0 +1,72 @@
+"""Per-operator profiling of TPC-H queries on the current backend.
+
+Usage: python -m bench.profile_q --sf 0.1 --queries 3,5,18
+Prints per-op elapsed/output_rows from SQLMetrics after a warm-up run.
+"""
+import os as _os
+_os.environ.setdefault(
+    "DATAFUSION_TPU_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "../.jax_cache"),
+)
+import argparse, time
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--queries", type=str, default="3,5,18")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax; jax.config.update("jax_platforms", "cpu")
+
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.ops.base import collect_plan_metrics
+    from .tpch import get_query_sql, load_engine_tables
+    from .tpch_datagen import generate_tpch as generate
+
+    data = generate(args.sf)
+    ctx = ExecutionContext()
+    load_engine_tables(ctx, data)
+
+    for q in map(int, args.queries.split(",")):
+        sql = [s for s in get_query_sql(q).split(";") if s.strip()]
+        assert len(sql) == 1, "use simple queries for profiling"
+        df = ctx.sql(sql[0])
+        lp = ctx.optimize(df.logical_plan())
+        # warm-up (compile)
+        phys = ctx.create_physical_plan(lp)
+        t0 = time.perf_counter()
+        out = phys.execute()
+        _ = np.asarray(out.columns[-1].data[:1])
+        cold = time.perf_counter() - t0
+        # timed run on the SAME tree (per-instance jit caches stay warm);
+        # zero the metrics first
+        def zero(p):
+            for _, m in p.metrics.items():
+                m.value = 0
+            for c in p.children():
+                zero(c)
+        zero(phys)
+        t0 = time.perf_counter()
+        out = phys.execute()
+        _ = np.asarray(out.columns[-1].data[:1])
+        warm = time.perf_counter() - t0
+        print(f"\n=== q{q}: cold {cold*1e3:.1f} ms, warm {warm*1e3:.1f} ms ===")
+        # per-op: walk the tree, print elapsed per node (not aggregated by type)
+        def walk(p, d=0):
+            ns = dict(p.metrics.items())
+            el = ns.get("elapsed_ns"); rows = ns.get("output_rows")
+            line = "  " * d + p._display_line()[:90]
+            extra = []
+            if el: extra.append(f"{el.value/1e6:.1f} ms")
+            if rows: extra.append(f"{rows.value} rows")
+            print(f"{line}  [{', '.join(extra)}]")
+            for c in p.children():
+                walk(c, d + 1)
+        walk(phys)
+
+
+if __name__ == "__main__":
+    main()
