@@ -23,6 +23,10 @@ _EPOCH = _dt.date(1970, 1, 1)
 
 def load_sqlite(data: dict[str, dict]) -> sqlite3.Connection:
     conn = sqlite3.connect(":memory:")
+    # SQL-standard LIKE is case-sensitive (as in DataFusion/Postgres);
+    # sqlite defaults to case-insensitive ASCII LIKE, which wrongly
+    # excludes lowercase "customer ... complaints" suppliers in TPC-H q16
+    conn.execute("PRAGMA case_sensitive_like = ON")
     for tname, cols in data.items():
         names = list(cols)
         decls = ", ".join(f'"{n}"' for n in names)

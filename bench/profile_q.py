@@ -56,6 +56,10 @@ def main():
         print(f"\n=== q{q}: cold {cold*1e3:.1f} ms, warm {warm*1e3:.1f} ms ===")
         # per-op: walk the tree, print elapsed per node (not aggregated by type)
         def walk(p, d=0):
+            mo = getattr(p, "_metrics_out", None)
+            if mo is not None:
+                p.metrics.counter("output_rows").add(mo.nrows)
+                p._metrics_out = None
             ns = dict(p.metrics.items())
             el = ns.get("elapsed_ns"); rows = ns.get("output_rows")
             line = "  " * d + p._display_line()[:90]

@@ -39,7 +39,7 @@ def round_capacity(n: int) -> int:
 
 
 class Table:
-    def __init__(self, names: list[str], columns: list[Column], nrows: int):
+    def __init__(self, names: list[str], columns: list[Column], nrows):
         if len(names) != len(columns):
             raise InternalError("names/columns length mismatch")
         caps = {c.capacity for c in columns}
@@ -47,7 +47,25 @@ class Table:
             raise InternalError(f"ragged column capacities: {caps}")
         self.names = list(names)
         self.columns = list(columns)
-        self.nrows = int(nrows)
+        # nrows may be a device scalar: it stays on-device until some host
+        # decision actually needs the count (the D2H sync costs ~28 ms of
+        # fixed latency per program on TPU, so operators that do not need
+        # the count — join outputs sized by the candidate total — pass the
+        # device value through and let it materialize lazily)
+        self._nrows = int(nrows) if isinstance(nrows, (int, np.integer)) else nrows
+
+    @property
+    def nrows(self) -> int:
+        if not isinstance(self._nrows, int):
+            self._nrows = int(self._nrows)
+        return self._nrows
+
+    @property
+    def nrows_dev(self):
+        """The live-row count as a jit-traceable scalar (no host sync)."""
+        if isinstance(self._nrows, int):
+            return np.int64(self._nrows)
+        return self._nrows
 
     # ---- shape -------------------------------------------------------------
     @property
@@ -131,12 +149,14 @@ class Table:
     # ---- manipulation -------------------------------------------------------
     def with_capacity(self, capacity: int) -> "Table":
         return Table(
-            self.names, [c.with_capacity(capacity) for c in self.columns], self.nrows
+            self.names,
+            [c.with_capacity(capacity) for c in self.columns],
+            self.nrows_dev,
         )
 
     def select(self, names: list[str]) -> "Table":
         cols = [self.column(n) for n in names]
-        return Table(list(names), cols, self.nrows)
+        return Table(list(names), cols, self.nrows_dev)
 
     def __repr__(self) -> str:
         return (

@@ -221,6 +221,19 @@ def run_executor(scheduler_addr: str, work_dir: str, executor_id: str):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS for subprocess workers even when a site hook has
+    # already registered another backend: env alone is overridden once jax
+    # is imported, so re-assert it via jax.config before any jax op runs.
+    # (Without this an executor launched with JAX_PLATFORMS=cpu silently
+    # initializes the remote-TPU backend and every np.asarray blocks on
+    # tunnel health.)
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
     ap = argparse.ArgumentParser(prog="datafusion-tpu-distributed")
     sub = ap.add_subparsers(dest="role", required=True)
     s = sub.add_parser("scheduler")

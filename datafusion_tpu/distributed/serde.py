@@ -400,6 +400,21 @@ def plan_to_dict(p: L.LogicalPlan) -> dict:
             "group_expr": [expr_to_dict(e) for e in p.group_expr],
             "aggr_expr": [expr_to_dict(e) for e in p.aggr_expr],
         }
+    if isinstance(p, L.Extension):
+        from ..logical.joinagg import CrossJoinAgg
+
+        if isinstance(p.node, CrossJoinAgg):
+            n = p.node
+            return {
+                "p": "cross_join_agg_logical",
+                "left": plan_to_dict(n.left),
+                "right": plan_to_dict(n.right),
+                "condition": (
+                    expr_to_dict(n.condition) if n.condition is not None else None
+                ),
+                "group_expr": [expr_to_dict(e) for e in n.group_expr],
+                "aggr_expr": [expr_to_dict(e) for e in n.aggr_expr],
+            }
     if isinstance(p, L.Window):
         return {
             "p": "window",
@@ -497,6 +512,22 @@ def plan_from_dict(d: dict, resolver: Callable | None = None) -> L.LogicalPlan:
             [expr_from_dict(e, resolver) for e in d["group_expr"]],
             [expr_from_dict(e, resolver) for e in d["aggr_expr"]],
         )
+    if k == "cross_join_agg_logical":
+        from ..logical.joinagg import CrossJoinAgg
+
+        left = plan_from_dict(d["left"], resolver)
+        right = plan_from_dict(d["right"], resolver)
+        cond = (
+            expr_from_dict(d["condition"], resolver)
+            if d["condition"] is not None
+            else None
+        )
+        group = [expr_from_dict(e, resolver) for e in d["group_expr"]]
+        aggr = [expr_from_dict(e, resolver) for e in d["aggr_expr"]]
+        # the fused node's schema is exactly the Aggregate-over-join schema
+        # (Filter does not change it)
+        out_schema = L.Aggregate(L.CrossJoin(left, right), group, aggr).schema()
+        return L.Extension(CrossJoinAgg(left, right, cond, group, aggr, out_schema))
     if k == "window":
         return L.Window(
             plan_from_dict(d["input"], resolver),

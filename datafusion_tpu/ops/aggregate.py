@@ -220,7 +220,7 @@ class HashAggregateExec(ExecutionPlan):
         out_d, out_v, n = fn(
             tuple(c.data for c in t.columns),
             tuple(c.valid for c in t.columns),
-            np.int64(t.nrows),
+            t.nrows_dev,
         )
         cols = [
             Column(dt, d, v, dic)
@@ -283,7 +283,7 @@ class HashAggregateExec(ExecutionPlan):
     # ---- phase 2: merge state columns ------------------------------------
     def _execute_final(self, t: Table) -> Table:
         cap = t.capacity
-        nrows = np.int64(t.nrows)
+        nrows = t.nrows_dev
         nkeys = len(self.group_expr)
         key_cols = t.columns[:nkeys]
 

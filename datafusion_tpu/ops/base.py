@@ -70,7 +70,10 @@ class ExecutionPlan:
         t0 = time.perf_counter_ns()
         out = self._execute()
         self.metrics.timer("elapsed_ns").add(time.perf_counter_ns() - t0)
-        self.metrics.counter("output_rows").add(out.nrows)
+        # record the table, not out.nrows: reading nrows here would force a
+        # device sync per operator (Table keeps lazy device-resident counts);
+        # collect_plan_metrics materializes on harvest
+        self._metrics_out = out
         return out
 
     def _execute(self) -> Table:
@@ -103,6 +106,10 @@ def collect_plan_metrics(plan: ExecutionPlan, out=None) -> dict:
     """Harvest metrics from a plan tree (plan_metrics, mod.rs:322)."""
     out = out if out is not None else {}
     key = type(plan).__name__
+    mo = getattr(plan, "_metrics_out", None)
+    if mo is not None:
+        plan.metrics.counter("output_rows").add(mo.nrows)
+        plan._metrics_out = None
     for name, m in plan.metrics.items():
         out.setdefault(f"{key}.{name}", 0)
         out[f"{key}.{name}"] += m.value

@@ -85,7 +85,7 @@ class ProjectionExec(ExecutionPlan):
         t = self.input.execute()
         cols = [e.evaluate(t) for e, _ in self.exprs]
         names = [name for _, name in self.exprs]
-        return Table(names, cols, t.nrows)
+        return Table(names, cols, t.nrows_dev)
 
     def _display_line(self):
         return f"ProjectionExec: {[n for _, n in self.exprs]}"
@@ -112,12 +112,14 @@ class FilterExec(ExecutionPlan):
         keep = pred.data.astype(bool) & pred.valid
         datas = tuple(c.data for c in t.columns)
         valids = tuple(c.valid for c in t.columns)
-        d2, v2, cnt = K.filter_compact(datas, valids, keep, np.int64(t.nrows))
+        d2, v2, cnt = K.filter_compact(datas, valids, keep, t.nrows_dev)
         cols = [
             Column(c.dtype, d, v, c.dictionary)
             for c, d, v in zip(t.columns, d2, v2)
         ]
-        return Table(t.names, cols, int(cnt))
+        # count stays on device (capacity is unchanged, so nothing here
+        # needs it on the host)
+        return Table(t.names, cols, cnt)
 
     def _display_line(self):
         return f"FilterExec: {self.predicate!r}"
@@ -140,7 +142,9 @@ class GlobalLimitExec(ExecutionPlan):
 
     def _execute(self) -> Table:
         t = self.input.execute()
-        return Table(t.names, t.columns, min(t.nrows, self.n))
+        return Table(
+            t.names, t.columns, jnp.minimum(t.nrows_dev, np.int64(self.n))
+        )
 
     def _display_line(self):
         return f"GlobalLimitExec: {self.n}"

@@ -156,9 +156,9 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
     lv = tuple(c.valid for c in lt.columns)
     rd = tuple(c.data for c in rt.columns)
     rv = tuple(c.valid for c in rt.columns)
-    nl, nr = np.int64(lt.nrows), np.int64(rt.nrows)
+    nl, nr = lt.nrows_dev, rt.nrows_dev
     lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
-    total = int(total_dev)  # sync 1
+    total = int(total_dev)  # the join's ONE host sync: sizes the output
     out_cap = round_capacity(max(total, 1))
     if metrics is not None:
         metrics.counter("join_candidates").add(total)
@@ -186,13 +186,20 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
                 ok = ok & fres.data.astype(bool) & fres.valid
 
             if join_type == "inner":
-                order = jnp.argsort(~ok, stable=True)
+                # co-sort the (probe, build) index pairs by ~ok (cheap int
+                # payloads through the sorting network), then gather data
+                # via the 64-bit pair fast path (kernels.py co-sorting note)
                 cnt = jnp.sum(ok)
+                _, (pc, bc) = K.cosort((~ok,), (probe_idx, build_idx))
                 live = jnp.arange(out_cap) < cnt
-                pc = probe_idx[order]
-                bc = build_idx[order]
-                out_d = [d[pc] for d in ld] + [d[bc] for d in rd]
-                out_v = [v[pc] & live for v in lv] + [v[bc] & live for v in rv]
+                pc32 = pc.astype(jnp.int32)
+                bc32 = bc.astype(jnp.int32)
+                out_d = [K.gather64(d, pc32) for d in ld] + [
+                    K.gather64(d, bc32) for d in rd
+                ]
+                out_v = [v[pc32] & live for v in lv] + [
+                    v[bc32] & live for v in rv
+                ]
                 return tuple(out_d), tuple(out_v), cnt
 
             # semi / anti: per-probe any-match from the contiguous candidate
@@ -206,12 +213,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
             matched = (counts > 0) & (in_run > 0)
             l_alive = jnp.arange(lcap) < nl
             keep = (matched if join_type == "semi" else ~matched) & l_alive
-            cnt = jnp.sum(keep)
-            order = jnp.argsort(~keep, stable=True)
-            live = jnp.arange(lcap) < cnt
-            out_d = [d[order] for d in ld]
-            out_v = [v[order] & live for v in lv]
-            return tuple(out_d), tuple(out_v), cnt
+            return K.filter_compact(ld, lv, keep, nl)
 
         entry_b = jax.jit(phase_b)
         _JOIN_JIT_CACHE[("B", out_cap) + base_key] = entry_b
@@ -219,7 +221,9 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
             _JOIN_JIT_CACHE.clear()
 
     out_d, out_v, cnt_dev = entry_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
-    cnt = int(cnt_dev)  # sync 2
+    # cnt stays on device: out_cap is already right-sized from `total`, so
+    # no shrink decision needs the verified count on the host (Table
+    # materializes it lazily if someone asks)
 
     if join_type == "inner":
         names = list(lt.names) + list(rt.names)
@@ -230,11 +234,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
         dts = [c.dtype for c in lt.columns]
         dics = [c.dictionary for c in lt.columns]
     cols = [Column(dt, d, v, dic) for dt, dic, d, v in zip(dts, dics, out_d, out_v)]
-    out = Table(names, cols, cnt)
-    tgt = round_capacity(max(cnt, 1))
-    if tgt < out.capacity:
-        out = out.with_capacity(tgt)
-    return out
+    return Table(names, cols, cnt_dev)
 
 
 def _view(base: Table, datas, valids) -> Table:
@@ -328,13 +328,15 @@ def _join_tables_eager(lt: Table, rt: Table, on, join_type: str, filter, metrics
 
 
 def _gather_pair_table(lt: Table, rt: Table, probe_idx, build_idx, out_cap) -> Table:
+    pi = probe_idx.astype(jnp.int32)
+    bi = build_idx.astype(jnp.int32)
     cols = []
     names = []
     for n, c in zip(lt.names, lt.columns):
-        cols.append(Column(c.dtype, c.data[probe_idx], c.valid[probe_idx], c.dictionary))
+        cols.append(Column(c.dtype, K.gather64(c.data, pi), c.valid[pi], c.dictionary))
         names.append(n)
     for n, c in zip(rt.names, rt.columns):
-        cols.append(Column(c.dtype, c.data[build_idx], c.valid[build_idx], c.dictionary))
+        cols.append(Column(c.dtype, K.gather64(c.data, bi), c.valid[bi], c.dictionary))
         names.append(n)
     return Table(names, cols, out_cap)
 
@@ -342,25 +344,25 @@ def _gather_pair_table(lt: Table, rt: Table, probe_idx, build_idx, out_cap) -> T
 def _materialize_pairs(lt: Table, rt: Table, probe_idx, build_idx, ok, out_cap) -> Table:
     """Compact verified pairs and gather both sides.
 
-    Compaction by stable argsort(~ok) + index composition — one gather per
-    output column, never a scatter (cap-sized scatters cost ~100x more than
-    gathers on TPU)."""
-    order = jnp.argsort(~ok, stable=True)
+    Compaction by co-sorting the index pairs keyed on ~ok, then one
+    pair-gather per output column — never a scatter (cap-sized scatters
+    cost ~100x more than gathers on TPU; see kernels.py co-sorting note)."""
     cnt_dev = jnp.sum(ok)
+    _, (probe_c, build_c) = K.cosort((~ok,), (probe_idx, build_idx))
     live = jnp.arange(out_cap) < cnt_dev
-    probe_c = probe_idx[order]
-    build_c = build_idx[order]
+    pc = probe_c.astype(jnp.int32)
+    bc = build_c.astype(jnp.int32)
     cnt = int(cnt_dev)
     cols = []
     names = []
     for n, c in zip(lt.names, lt.columns):
-        d = c.data[probe_c]
-        v = c.valid[probe_c] & live
+        d = K.gather64(c.data, pc)
+        v = c.valid[pc] & live
         cols.append(Column(c.dtype, d, v, c.dictionary))
         names.append(n)
     for n, c in zip(rt.names, rt.columns):
-        d = c.data[build_c]
-        v = c.valid[build_c] & live
+        d = K.gather64(c.data, bc)
+        v = c.valid[bc] & live
         cols.append(Column(c.dtype, d, v, c.dictionary))
         names.append(n)
     return Table(names, cols, cnt)

@@ -104,42 +104,52 @@ def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndar
 
 
 # ---------------------------------------------------------------------------
-# compaction (filter)
+# co-sorting & gathering primitives
+#
+# TPU microbenchmarks (8M rows, v5e): a stable argsort + per-column gathers
+# costs 547 ms for 4 payload columns, while ONE variadic `lax.sort` carrying
+# the same columns as payloads costs 92 ms — XLA's sorting network moves
+# payloads for free compared to TPU's slow dynamic gathers (f32 gather
+# 100 ms; int64 gather 321 ms, or 80 ms when bitcast to int32 pairs and
+# row-gathered).  Every hot path below therefore prefers payload-carrying
+# sorts over argsort+gather, and pair-gathers for unavoidable 64-bit takes.
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _compact_order(keep: jnp.ndarray, nrows: jnp.ndarray):
-    """Gather permutation putting kept rows first (stable)."""
-    cap = keep.shape[0]
-    alive = jnp.arange(cap) < nrows
-    keep = keep & alive
-    order = jnp.argsort(~keep, stable=True)
-    cnt = jnp.sum(keep)
-    return order, jnp.arange(cap) < cnt, cnt
+def cosort(keys: tuple, payloads: tuple, num_keys: int | None = None):
+    """Stable variadic sort: returns (sorted_keys, sorted_payloads)."""
+    nk = len(keys) if num_keys is None else num_keys
+    out = jax.lax.sort(tuple(keys) + tuple(payloads), num_keys=nk, is_stable=True)
+    return out[: len(keys)], out[len(keys):]
 
 
-@jax.jit
-def _gather_compact(data: jnp.ndarray, order: jnp.ndarray):
-    return data[order]
-
-
-@jax.jit
-def _gather_compact_valid(valid: jnp.ndarray, order: jnp.ndarray, live: jnp.ndarray):
-    return valid[order] & live
+def gather64(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather that routes 64-bit element types through an int32-pair row
+    gather (4x faster than a native 64-bit gather on TPU under x64
+    emulation); 32-bit and bool types gather directly."""
+    if data.dtype.itemsize == 8:
+        pairs = jax.lax.bitcast_convert_type(data, jnp.int32)
+        if pairs.ndim == 2:  # [N, 2] words
+            return jax.lax.bitcast_convert_type(pairs[idx.astype(jnp.int32)], data.dtype)
+        # some backends keep 64-bit types native; fall through
+    return data[idx.astype(jnp.int32)]
 
 
 def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.ndarray):
     """Move rows where ``keep`` holds to the front of fresh buffers.
 
     Returns (datas, valids, count).  Dead rows (index >= nrows) never kept.
-    Stable argsort(~keep) + per-column gather — a cap-sized scatter is ~5x
-    slower than this on TPU.  Compiled per (dtype, capacity): one shared
-    order computation plus a per-column gather, so adding columns never
-    triggers new compiles."""
-    order, live, cnt = _compact_order(keep, nrows)
-    out_d = tuple(_gather_compact(d, order) for d in datas)
-    out_v = tuple(_gather_compact_valid(v, order, live) for v in valids)
+    ONE stable variadic sort keyed on ~keep carries every column as payload
+    (see header note: payload-carrying sorts beat argsort+gather ~6x on
+    TPU; a cap-sized scatter is worse still)."""
+    cap = keep.shape[0]
+    alive = jnp.arange(cap) < nrows
+    keep = keep & alive
+    cnt = jnp.sum(keep)
+    _, moved = cosort((~keep,), tuple(datas) + tuple(valids))
+    live = jnp.arange(cap) < cnt
+    out_d = tuple(moved[: len(datas)])
+    out_v = tuple(v & live for v in moved[len(datas):])
     return out_d, out_v, cnt
 
 
@@ -148,34 +158,59 @@ def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.nd
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("desc", "nulls_first"))
-def _refine_by_key(
-    idx: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    desc: bool,
-    nulls_first: bool,
-) -> jnp.ndarray:
-    """One stable refinement of permutation `idx` by a more-significant key."""
-    kk = k[idx]
-    if desc:
-        if jnp.issubdtype(kk.dtype, jnp.floating):
-            kk = -kk
-        else:
-            kk = jnp.bitwise_not(kk)  # strictly order-reversing, no overflow
-    order = jnp.argsort(kk, stable=True)
-    idx = idx[order]
-    vv = v[idx]
-    nullrank = jnp.where(vv, 1, 0 if nulls_first else 2)
-    order = jnp.argsort(nullrank, stable=True)
-    return idx[order]
+def lexsort_apply(
+    ordkeys: tuple,
+    key_valids: tuple,
+    payloads: tuple,
+    nrows: jnp.ndarray,
+    descs: tuple,
+    nulls_firsts: tuple,
+    want_perm: bool = False,
+):
+    """Sort rows by (k1, k2, ...) with per-key direction and null placement,
+    dead rows last, stable — carrying `payloads` through the sorting network
+    (see header note: payload-carrying sorts beat argsort+gather ~6x on
+    TPU).  Returns (sorted_payloads, perm-or-None).
 
+    Iterated stable variadic sorts from least- to most-significant key
+    (classic LSD): pass i sorts by (nullrank_i, key_i); the final pass adds
+    a dead-rows-last key.  Later-pass keys and the payloads ride along as
+    sort payloads, so there are ZERO gathers."""
+    cap = ordkeys[0].shape[0]
+    nk = len(ordkeys)
 
-@jax.jit
-def _alive_first(idx: jnp.ndarray, nrows: jnp.ndarray) -> jnp.ndarray:
-    alive = idx < nrows
-    order = jnp.argsort(~alive, stable=True)
-    return idx[order]
+    tkeys = []
+    nranks = []
+    for k, v, desc, nf in zip(ordkeys, key_valids, descs, nulls_firsts):
+        kk = k
+        if desc:
+            if jnp.issubdtype(kk.dtype, jnp.floating):
+                kk = -kk
+            else:
+                kk = jnp.bitwise_not(kk)  # strictly order-reversing
+        tkeys.append(kk)
+        nranks.append(jnp.where(v, 1, 0 if nf else 2).astype(jnp.int32))
+
+    dead = jnp.arange(cap) >= nrows
+    state = list(tkeys) + list(nranks) + [dead] + list(payloads)
+    if want_perm:
+        state.append(jnp.arange(cap))
+    DEAD = 2 * nk
+
+    for i in reversed(range(nk)):
+        key_ids = ([DEAD] if i == 0 else []) + [nk + i, i]
+        rest = [j for j in range(len(state)) if j not in key_ids]
+        ops = tuple(state[j] for j in key_ids) + tuple(state[j] for j in rest)
+        out = jax.lax.sort(ops, num_keys=len(key_ids), is_stable=True)
+        new_state = [None] * len(state)
+        for pos, j in enumerate(key_ids + rest):
+            new_state[j] = out[pos]
+        state = new_state
+
+    perm = state[-1] if want_perm else None
+    lo = DEAD + 1
+    hi = lo + len(payloads)
+    return tuple(state[lo:hi]), perm
 
 
 def lexsort_perm(
@@ -185,33 +220,19 @@ def lexsort_perm(
     descs: tuple,
     nulls_firsts: tuple,
 ) -> jnp.ndarray:
-    """Permutation sorting rows by (k1, k2, ...) with per-key direction and
-    null placement; dead rows go last; stable.
-
-    Iterated stable sorts from least- to most-significant key — each
-    refinement preserves the previous order within equal keys (classic LSD),
-    entirely via XLA's stable sort: no scalar loops, and compiles key on
-    (dtype, capacity, desc, nulls_first) per refinement step rather than on
-    whole key-tuple signatures."""
-    cap = ordkeys[0].shape[0]
-    idx = jnp.arange(cap)
-    for k, v, desc, nf in reversed(
-        list(zip(ordkeys, key_valids, descs, nulls_firsts))
-    ):
-        idx = _refine_by_key(idx, k, v, desc, nf)
-    return _alive_first(idx, nrows)
-
-
-@jax.jit
-def _gather(data: jnp.ndarray, idx: jnp.ndarray):
-    return data[idx]
+    """Permutation form of `lexsort_apply` (for callers that must gather
+    other buffers by the sorted order, e.g. aggregate value columns)."""
+    _, perm = lexsort_apply(
+        ordkeys, key_valids, (), nrows, descs, nulls_firsts, want_perm=True
+    )
+    return perm
 
 
 def take(datas: tuple, valids: tuple, idx: jnp.ndarray):
-    """Gather rows by index (the reference's arrow `take` kernel);
-    per-column jit so compiles key on (dtype, capacity) only."""
-    return tuple(_gather(d, idx) for d in datas), tuple(
-        _gather(v, idx) for v in valids
+    """Gather rows by index (the reference's arrow `take` kernel); 64-bit
+    columns go through the int32-pair fast path (`gather64`)."""
+    return tuple(gather64(d, idx) for d in datas), tuple(
+        v[idx.astype(jnp.int32)] for v in valids
     )
 
 
@@ -339,9 +360,44 @@ def join_probe_counts(
 ):
     """Per-probe candidate ranges [lo, hi) in the sorted build hashes.
 
-    Probe rows that are dead or have null keys get empty ranges."""
-    lo = jnp.searchsorted(sorted_hash, probe_hash, side="left")
-    hi = jnp.searchsorted(sorted_hash, probe_hash, side="right")
+    Probe rows that are dead or have null keys get empty ranges.
+
+    `jnp.searchsorted` lowers catastrophically on TPU (4.7 s for 8M-in-8M
+    vs 0.23 s for a merge-rank co-sort), so ranks come from ONE merge:
+    co-sort [probe ++ build] by (hash, side) with probe-before-build tie
+    order; a probe element's merged position minus the probes before it is
+    then #build < hash — exactly searchsorted-left.  hi comes from run
+    lengths of the (already sorted) build hashes, not a second search."""
+    nb = sorted_hash.shape[0]
+    npr = probe_hash.shape[0]
+
+    allv = jnp.concatenate([probe_hash, sorted_hash])
+    tag = jnp.concatenate(
+        [jnp.zeros(npr, jnp.int32), jnp.ones(nb, jnp.int32)]
+    )
+    orig = jnp.concatenate(
+        [jnp.arange(npr, dtype=jnp.int32), jnp.full(nb, npr, jnp.int32)]
+    )
+    (val_s, tag_s), (orig_s,) = cosort((allv, tag), (orig,))
+    is_probe = tag_s == 0
+    n_probe_upto = jnp.cumsum(is_probe.astype(jnp.int32))
+    lo_all = jnp.arange(1, nb + npr + 1, dtype=jnp.int32) - n_probe_upto
+    # back to probe order: probes (tag 0) first, by original index
+    _, (lo_s,) = cosort((tag_s, orig_s), (lo_all,))
+    lo = lo_s[:npr].astype(jnp.int64)
+
+    # run lengths on the sorted build side: rl[j] = len of the equal-hash
+    # run containing j; counts = rl at lo when the run actually matches
+    j = jnp.arange(nb, dtype=jnp.int32)
+    boundary = (sorted_hash != jnp.roll(sorted_hash, 1)).at[0].set(True)
+    start = jax.lax.cummax(jnp.where(boundary, j, -1))
+    nxt_incl = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(boundary, j, nb))))
+    nxt_excl = jnp.concatenate([nxt_incl[1:], jnp.array([nb], nxt_incl.dtype)])
+    rl = (nxt_excl - start).astype(jnp.int64)
+
+    lo_c = jnp.clip(lo, 0, nb - 1).astype(jnp.int32)
+    hit = gather64(sorted_hash, lo_c) == probe_hash
+    hi = jnp.where(hit, lo + rl[lo_c], lo)
     hi = jnp.minimum(hi, nrows_build)
     lo = jnp.minimum(lo, hi)
     counts = jnp.where(probe_alive_valid, hi - lo, 0)
@@ -358,14 +414,27 @@ def join_expand(
 ):
     """Materialize candidate pairs: output slot r -> (probe_idx, build_idx).
 
-    Vectorized run expansion via cumsum + searchsorted (no loops):
-      starts = exclusive cumsum(counts);  probe(r) = # starts <= r  - 1.
+    Vectorized run expansion via cumsum + merge-rank (no loops, and no
+    `searchsorted` — see join_probe_counts note):
+      starts = exclusive cumsum(counts);  probe(r) = # cum <= r.
     Slots >= total are dead (alive=False)."""
     cum = jnp.cumsum(counts)
     total = cum[-1]
     starts = cum - counts
     r = jnp.arange(out_cap)
-    probe_idx = jnp.searchsorted(cum, r, side="right")
+    # probe_idx[r] = #(cum <= r)  == searchsorted(cum, r, side='right'),
+    # computed by merging the sorted `cum` with the dense slot ids
+    npr = cum.shape[0]
+    allv = jnp.concatenate([cum, r])
+    tag = jnp.concatenate(
+        [jnp.zeros(npr, jnp.int32), jnp.ones(out_cap, jnp.int32)]
+    )
+    (_, tag_s), _ = cosort((allv, tag), ())
+    n_cum_upto = jnp.cumsum((tag_s == 0).astype(jnp.int32))
+    # bring slot rows back to dense order: cum rows (tag 0) first, slots
+    # after in value order (already dense) — stable sort by tag alone
+    _, (pi_s,) = cosort((tag_s,), (n_cum_upto,))
+    probe_idx = pi_s[npr:].astype(jnp.int64)
     probe_idx = jnp.minimum(probe_idx, lo.shape[0] - 1)
     offset_in_run = r - starts[probe_idx]
     build_pos = lo[probe_idx] + offset_in_run

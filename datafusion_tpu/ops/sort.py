@@ -63,7 +63,11 @@ class SortExec(ExecutionPlan):
         t = self.input.execute()
         out = sort_table(t, self.sort_exprs)
         if self.fetch is not None:
-            out = Table(out.names, out.columns, min(out.nrows, self.fetch))
+            out = Table(
+                out.names,
+                out.columns,
+                jnp.minimum(out.nrows_dev, np.int64(self.fetch)),
+            )
         return out
 
     def _display_line(self):
@@ -75,17 +79,20 @@ def sort_table(t: Table, sort_exprs: list[PhysSortExpr]) -> Table:
     key_cols = [s.expr.evaluate(t) for s in sort_exprs]
     ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
     valids = tuple(c.valid for c in key_cols)
-    perm = K.lexsort_perm(
+    # every table column rides through the sorting network as a payload —
+    # zero gathers (see kernels.py co-sorting note)
+    payloads = tuple(c.data for c in t.columns) + tuple(c.valid for c in t.columns)
+    moved, _ = K.lexsort_apply(
         ordkeys,
         valids,
-        np.int64(t.nrows),
+        payloads,
+        t.nrows_dev,
         tuple(not s.ascending for s in sort_exprs),
         tuple(s.nulls_first for s in sort_exprs),
     )
-    datas = tuple(c.data for c in t.columns)
-    vals = tuple(c.valid for c in t.columns)
-    d2, v2 = K.take(datas, vals, perm)
+    n = len(t.columns)
     cols = [
-        Column(c.dtype, d, v, c.dictionary) for c, d, v in zip(t.columns, d2, v2)
+        Column(c.dtype, d, v, c.dictionary)
+        for c, d, v in zip(t.columns, moved[:n], moved[n:])
     ]
-    return Table(t.names, cols, t.nrows)
+    return Table(t.names, cols, t.nrows_dev)

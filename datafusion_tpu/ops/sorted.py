@@ -132,12 +132,12 @@ class LastRowByUniqueKeyExec(ExecutionPlan):
         last_live = jnp.where(alive, jnp.arange(cap), -1).max()
         is_last = is_last | (jnp.arange(cap) == last_live)
         keep = alive & is_last
-        n = jnp.sum(keep)
-        order = jnp.argsort(~keep, stable=True)
-        live = jnp.arange(cap) < n
+        datas = tuple(c.data for c in t.columns)
+        valids = tuple(c.valid for c in t.columns)
+        d2, v2, n = K.filter_compact(datas, valids, keep, np.int64(t.nrows))
         cols = [
-            Column(c.dtype, c.data[order], c.valid[order] & live, c.dictionary)
-            for c in t.columns
+            Column(c.dtype, d, v, c.dictionary)
+            for c, d, v in zip(t.columns, d2, v2)
         ]
         out = Table(list(t.names), cols, int(n))
         self.metrics.counter("dedup_dropped").add(t.nrows - out.nrows)

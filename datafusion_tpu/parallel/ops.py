@@ -430,19 +430,20 @@ def dist_join(
         for pk, pv, bk, bv in zip(lord, lkv, rord, rkv):
             ok = ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
 
-        # compact verified pairs: stable argsort + gathers (a scatter here
-        # costs ~100x more on TPU; see bench/MICRO.md)
+        # compact verified pairs: co-sort the index pairs keyed on ~ok,
+        # then 64-bit pair gathers (a scatter here costs ~100x more on TPU;
+        # see bench/MICRO.md and kernels.py co-sorting note)
         n_out = jnp.sum(ok)
-        order = jnp.argsort(~ok, stable=True)
+        _, (pc, bc) = K.cosort((~ok,), (probe_idx, build_idx))
         live = jnp.arange(out_cap) < n_out
-        pc = probe_idx[order]
-        bc = build_idx[order]
+        pc = pc.astype(jnp.int32)
+        bc = bc.astype(jnp.int32)
         outs_d, outs_v = [], []
         for d, v in zip(sl_d[:nl], sl_v[:nl]):
-            outs_d.append(d[pc])
+            outs_d.append(K.gather64(d, pc))
             outs_v.append(v[pc] & live)
         for d, v in zip(sr_d[:nr], sr_v[:nr]):
-            outs_d.append(d[bc])
+            outs_d.append(K.gather64(d, bc))
             outs_v.append(v[bc] & live)
         overflow = jnp.maximum(total - out_cap, 0)
         return (

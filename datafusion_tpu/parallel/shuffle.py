@@ -55,18 +55,22 @@ def shuffle_by_hash(
     counts = jnp.sum(onehot, axis=0)[:ndev]
     starts = jnp.cumsum(counts) - counts
 
-    # stable sort by dest; slot within destination bucket
-    order = jnp.argsort(dest, stable=True)
-    ds = dest[order]
-    r = jnp.arange(cap)
-    slot = r - jnp.concatenate([starts, jnp.zeros(1, starts.dtype)])[
-        jnp.clip(ds, 0, ndev)
-    ]
-    sendable = ds < ndev
+    # stable co-sort by dest carrying every column: rows for shard s then
+    # occupy the contiguous range [starts[s], starts[s]+counts[s]), so the
+    # [ndev, B] send layout is a pure GATHER from sorted order — no
+    # scatter anywhere (TPU scatters cost ~10x a payload-carrying sort;
+    # see ops/kernels.py co-sorting note)
+    _, moved = K.cosort((dest,), tuple(datas) + tuple(valids))
+    sorted_d = moved[: len(datas)]
+    sorted_v = moved[len(datas):]
+
     overflow = jnp.maximum(jnp.max(counts) - bucket_cap, 0)
-    target = jnp.where(
-        sendable & (slot < bucket_cap), ds * bucket_cap + slot, ndev * bucket_cap
-    )
+
+    p = jnp.arange(ndev * bucket_cap)
+    s = (p // bucket_cap).astype(jnp.int32)
+    k = (p % bucket_cap).astype(jnp.int32)
+    src_idx = jnp.clip(starts[s] + k, 0, cap - 1).astype(jnp.int32)
+    slot_live = k < jnp.minimum(counts[s], bucket_cap)
 
     # counts exchange: row r of send_counts goes to shard r
     recv_counts = jax.lax.all_to_all(
@@ -74,17 +78,9 @@ def shuffle_by_hash(
     ).reshape(ndev)
 
     out_datas, out_valids = [], []
-    for d, v in zip(datas, valids):
-        send = (
-            jnp.zeros(ndev * bucket_cap, d.dtype)
-            .at[target]
-            .set(d[order], mode="drop")
-        )
-        sendv = (
-            jnp.zeros(ndev * bucket_cap, bool)
-            .at[target]
-            .set(v[order] & sendable, mode="drop")
-        )
+    for d, v in zip(sorted_d, sorted_v):
+        send = K.gather64(d, src_idx)
+        sendv = v[src_idx] & slot_live
         recv = jax.lax.all_to_all(
             send.reshape(ndev, bucket_cap), AXIS, split_axis=0, concat_axis=0
         ).reshape(-1)
@@ -94,18 +90,15 @@ def shuffle_by_hash(
         out_datas.append(recv)
         out_valids.append(recvv)
 
-    # compact received rows (rows [s*B, s*B + recv_counts[s]) are live)
+    # compact received rows (rows [s*B, s*B + recv_counts[s]) are live):
+    # one co-sort keyed on ~keep carrying all received columns
     rowpos = jnp.arange(ndev * bucket_cap)
     src = rowpos // bucket_cap
     within = rowpos % bucket_cap
     keep = within < recv_counts[src]
     new_n = jnp.sum(recv_counts)
-    pos = jnp.cumsum(keep) - 1
-    tgt = jnp.where(keep, pos, ndev * bucket_cap)
-    out_datas = [
-        jnp.zeros_like(d).at[tgt].set(d, mode="drop") for d in out_datas
-    ]
-    out_valids = [
-        jnp.zeros_like(v).at[tgt].set(v & keep, mode="drop") for v in out_valids
-    ]
+    live = rowpos < new_n
+    _, moved = K.cosort((~keep,), tuple(out_datas) + tuple(out_valids))
+    out_datas = list(moved[: len(out_datas)])
+    out_valids = [v & live for v in moved[len(out_datas):]]
     return out_datas, out_valids, new_n.reshape(1).astype(jnp.int64), overflow

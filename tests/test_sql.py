@@ -219,3 +219,34 @@ def test_information_schema(ctx):
 def test_explain(ctx):
     out = q(ctx, "EXPLAIN SELECT v FROM t WHERE v > 3")
     assert "logical_plan" in out["plan_type"]
+
+
+def test_like_is_case_sensitive(ctx):
+    # SQL-standard LIKE (as in DataFusion/Postgres); sqlite's default
+    # case-insensitive LIKE produced a wrong TPC-H q16 golden before
+    # bench/golden.py set PRAGMA case_sensitive_like
+    c = ExecutionContext()
+    c.register_table(
+        "s", Table.from_pydict({"x": ["Customer Complaints", "customer complaints"]})
+    )
+    out = c.sql("SELECT x FROM s WHERE x LIKE '%Customer%Complaints%'").to_pydict()
+    assert out == {"x": ["Customer Complaints"]}
+
+
+def test_or_common_conjunct_factoring(ctx):
+    # (A AND B) OR (A AND C) => A AND (B OR C): lets EliminateCrossJoins
+    # plan a hash join for q19-style predicates instead of a cross product
+    c = ExecutionContext()
+    c.register_table("a", Table.from_pydict({"x": [1, 2, 3, 4], "p": [1, 1, 2, 2]}))
+    c.register_table("b", Table.from_pydict({"y": [1, 2, 3, 4], "q": [1, 2, 1, 2]}))
+    sql = (
+        "SELECT count(*) AS c FROM a, b WHERE "
+        "(a.x = b.y AND a.p = 1 AND b.q = 1) OR (a.x = b.y AND a.p = 2 AND b.q = 2)"
+    )
+    plan = c.sql("EXPLAIN " + sql).collect().to_pandas()
+    txt = "\n".join(plan.iloc[:, 1])
+    assert "HashJoinExec" in txt, txt
+    out = c.sql(sql).to_pydict()
+    # matches: x=y pairs with (p,q) in {(1,1),(2,2)}: (1,1),(3,3)->p2q1 no...
+    # x=1,y=1: p=1,q=1 ok; x=2,y=2: p=1,q=2 no; x=3,y=3: p=2,q=1 no; x=4,y=4: p=2,q=2 ok
+    assert out == {"c": [2]}
