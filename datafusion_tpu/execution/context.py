@@ -320,9 +320,10 @@ class ExecutionContext:
             if "now()" not in key[0] and len(self._plan_cache) < 256:
                 self._plan_cache[key] = phys
         out = phys.execute()
-        # final output uses unqualified display names
+        # final output uses unqualified display names (keep the row count
+        # lazy: callers sync once when they read data)
         if len(display) == len(out.names):
-            out = Table(display, out.columns, out.nrows)
+            out = Table(display, out.columns, out.nrows_dev)
         return out
 
     # ---- output (context.rs:492,530) ------------------------------------------

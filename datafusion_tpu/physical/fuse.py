@@ -21,9 +21,12 @@ _STAGE_CACHE: dict = {}
 
 
 class StageExec(ExecutionPlan):
-    def __init__(self, inner: ExecutionPlan):
+    def __init__(self, inner: ExecutionPlan, root: bool = False):
         super().__init__()
         self.inner = inner
+        # a root stage feeds collect() directly: skip the output shrink and
+        # its ~28 ms count sync — the collect slices by the (lazy) count
+        self.root = root
         self.stage = CompiledStage(inner)
         src = self.stage.source.execute()
         sig = (
@@ -48,22 +51,26 @@ class StageExec(ExecutionPlan):
         return self
 
     def _execute(self) -> Table:
-        return self.stage.execute()
+        return self.stage.execute(shrink=not self.root)
 
     def _display_line(self):
-        return f"StageExec[fused x{len(self.stage.chain)}]"
+        r = " root" if self.root else ""
+        return f"StageExec[fused x{len(self.stage.chain)}{r}]"
 
 
 class FuseStages:
     name = "fuse_stages"
 
     def optimize(self, plan: ExecutionPlan) -> ExecutionPlan:
+        return self._opt(plan, is_root=True)
+
+    def _opt(self, plan: ExecutionPlan, is_root: bool) -> ExecutionPlan:
         if compilable(plan) and _worth_fusing(plan):
-            return StageExec(plan)
+            return StageExec(plan, root=is_root)
         kids = plan.children()
         if not kids:
             return plan
-        return plan.with_new_children([self.optimize(c) for c in kids])
+        return plan.with_new_children([self._opt(c, False) for c in kids])
 
 
 def _worth_fusing(plan: ExecutionPlan) -> bool:

@@ -153,7 +153,7 @@ class CompiledStage:
         return ranges or None
 
     # ------------------------------------------------------------------
-    def execute(self) -> Table:
+    def execute(self, shrink: bool = True) -> Table:
         src = self.source.execute()
         datas = tuple(c.data for c in src.columns)
         valids = tuple(c.valid for c in src.columns)
@@ -170,10 +170,13 @@ class CompiledStage:
             Column(f.dtype, d, v, dic)
             for f, d, v, dic in zip(self.out_schema.fields, out_d, out_v, self.out_dicts)
         ]
-        t = Table(self.out_schema.names(), cols, int(nout))
-        tgt = round_capacity(t.nrows)
-        if tgt < t.capacity:
-            t = t.with_capacity(tgt)
+        t = Table(self.out_schema.names(), cols, nout)
+        if shrink:
+            # downstream operators compile per capacity: pay one count sync
+            # to right-size the buffers they will see
+            tgt = round_capacity(t.nrows)
+            if tgt < t.capacity:
+                t = t.with_capacity(tgt)
         return t
 
     # ------------------------------------------------------------------
