@@ -482,8 +482,10 @@ def _distinct_mask(v, perm, gid, data, valid, cap):
     )
     prev_same = prev_same.at[0].set(False)
     keep = va2 & ~prev_same
-    # scatter back to sorted-row order
-    keep_unsorted = jnp.zeros(cap, bool).at[order].set(keep)
+    # inverse-permutation application WITHOUT a cap-sized scatter: co-sort
+    # (order, keep) by order — payload keep[i] lands at position order[i]
+    # (bench/MICRO.md rule 1/7)
+    _, (keep_unsorted,) = K.cosort((order,), (keep,))
     return data, valid & keep_unsorted
 
 

@@ -72,13 +72,14 @@ def dist_filter(st: ShardedTable, pred: PhysicalExpr) -> ShardedTable:
         t = _local_view(st, datas, valids)
         p = pred.evaluate(t)
         keep = p.data.astype(bool) & p.valid & local_alive(st.shard_cap, nrows)
-        pos = jnp.cumsum(keep) - 1
-        tgt = jnp.where(keep, pos, st.shard_cap)
-        out_d = [jnp.zeros_like(d).at[tgt].set(d, mode="drop") for d in datas]
-        out_v = [
-            jnp.zeros_like(v).at[tgt].set(v & keep, mode="drop") for v in valids
-        ]
-        return (jnp.sum(keep).reshape(1).astype(jnp.int64), *out_d, *out_v)
+        # co-sort compaction instead of a shard-cap-sized scatter
+        # (bench/MICRO.md rules 1/7)
+        cnt = jnp.sum(keep)
+        _, moved = K.cosort((~keep,), tuple(datas) + tuple(valids))
+        live = jnp.arange(st.shard_cap) < cnt
+        out_d = list(moved[:ncols])
+        out_v = [v & live for v in moved[ncols:]]
+        return (cnt.reshape(1).astype(jnp.int64), *out_d, *out_v)
 
     fn = _shard_map(
         st.mesh,
