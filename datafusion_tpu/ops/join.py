@@ -294,7 +294,7 @@ def _join_tables_eager(lt: Table, rt: Table, on, join_type: str, filter, metrics
 
     # ---- semi / anti ---------------------------------------------------------
     if join_type in ("semi", "anti"):
-        match_per_probe = jnp.zeros(lcap, bool).at[probe_idx].max(ok, mode="drop")
+        match_per_probe = _any_match_per_probe(counts, ok, out_cap)
         keep = match_per_probe if join_type == "semi" else ~match_per_probe
         return _filter_table(lt, keep)
 
@@ -310,7 +310,7 @@ def _join_tables_eager(lt: Table, rt: Table, on, join_type: str, filter, metrics
     parts = [matched]
 
     if join_type in ("left", "full"):
-        match_per_probe = jnp.zeros(lcap, bool).at[probe_idx].max(ok, mode="drop")
+        match_per_probe = _any_match_per_probe(counts, ok, out_cap)
         unmatched = l_alive & ~match_per_probe
         left_rest = _filter_table(lt, unmatched)
         parts.append(_pad_right_nulls(left_rest, rt))
@@ -325,6 +325,19 @@ def _join_tables_eager(lt: Table, rt: Table, on, join_type: str, filter, metrics
 
 
 # ---------------------------------------------------------------------------
+
+
+def _any_match_per_probe(counts, ok, out_cap):
+    """Per-probe 'any verified candidate' from the contiguous candidate runs
+    (probe_idx is non-decreasing) — prefix sums over the pair mask instead
+    of a probe-capacity scatter-max (bench/MICRO.md rule 1)."""
+    cum = jnp.cumsum(counts)
+    starts = cum - counts
+    mc = jnp.cumsum(ok.astype(jnp.int32))
+    hi = jnp.clip(cum - 1, 0, out_cap - 1)
+    lo_prev = jnp.clip(starts - 1, 0, out_cap - 1)
+    in_run = mc[hi] - jnp.where(starts > 0, mc[lo_prev], 0)
+    return (counts > 0) & (in_run > 0)
 
 
 def _gather_pair_table(lt: Table, rt: Table, probe_idx, build_idx, out_cap) -> Table:

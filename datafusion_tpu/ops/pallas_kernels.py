@@ -60,10 +60,12 @@ def _make_kernel(domain: int, ncols: int, ntiles: int):
             i32 = partial(jnp.asarray, dtype=jnp.int32)
 
             def dma(plane, slot, ci):
+                # every slice index pinned to int32: under x64 python ints
+                # become i64, which tpu.memref_slice rejects
                 return pltpu.make_async_copy(
                     hbm[plane].at[pl.ds(ci * i32(tr), tr), :],
-                    bufs.at[plane, slot],
-                    sems.at[plane, slot],
+                    bufs.at[i32(plane), slot],
+                    sems.at[i32(plane), slot],
                 )
 
             def start_all(slot, ci):
@@ -74,11 +76,10 @@ def _make_kernel(domain: int, ncols: int, ntiles: int):
                 for p in range(nplanes):
                     dma(p, slot, ci).wait()
 
-            acc[...] = jnp.zeros_like(acc)
-            start_all(0, i32(0))
-
             zero = i32(0)
             one = i32(1)
+            acc[...] = jnp.zeros_like(acc)
+            start_all(zero, zero)
 
             def step(ci, carry):
                 slot = jax.lax.rem(ci, i32(2))
@@ -90,11 +91,11 @@ def _make_kernel(domain: int, ncols: int, ntiles: int):
 
                 wait_all(slot, ci)
 
-                gid = bufs[0, slot]
+                gid = bufs[i32(0), slot]
                 for c in range(ncols):
-                    w0 = bufs[1 + 3 * c, slot]
-                    w1 = bufs[2 + 3 * c, slot]
-                    m = bufs[3 + 3 * c, slot] != zero
+                    w0 = bufs[i32(1 + 3 * c), slot]
+                    w1 = bufs[i32(2 + 3 * c), slot]
+                    m = bufs[i32(3 + 3 * c), slot] != zero
                     limbs = [
                         (w0 >> 0) & 0xFF, (w0 >> 8) & 0xFF,
                         (w0 >> 16) & 0xFF, (w0 >> 24) & 0xFF,

@@ -475,8 +475,17 @@ def _fused_small_domain_aggregate(
         out_d.append(_pad_to(c.data[src], out_cap, c.data.dtype))
         out_v.append(_pad_to(c.valid[src], out_cap, jnp.bool_) & gvalid_row)
 
-    for a in op.aggr_expr:
-        for data, valid in _eval_aggregate_slots(a, t, hit, emit_state):
+    # Pallas one-pass path: when the backend supports it, every sum/count/
+    # avg over integer/decimal storage comes from ONE fused kernel pass
+    # (ops/pallas_kernels.py) instead of one [D, N] reduce per aggregate.
+    pk = _pallas_precompute(op, t, gid, domain, cap)
+
+    for ai, a in enumerate(op.aggr_expr):
+        if pk is not None and ai in pk:
+            slots_out = _slots_from_pallas(a, *pk[ai], emit_state=emit_state)
+        else:
+            slots_out = _eval_aggregate_slots(a, t, hit, emit_state)
+        for data, valid in slots_out:
             # reorder [D] slot values into compacted group order, pad out
             out_d.append(_pad_to(data[slot_of_group], out_cap, data.dtype))
             out_v.append(_pad_to(valid[slot_of_group], out_cap, jnp.bool_) & gvalid_row)
@@ -490,6 +499,89 @@ def _fused_small_domain_aggregate(
         }
         meta = [(nm, dt, agg_dicts.get(nm, dic)) for nm, dt, dic in meta]
     return out_d, out_v, ngroups, meta
+
+
+def _pallas_mode():
+    """'tpu' | 'interpret' | None: is the pallas aggregate kernel usable?"""
+    import os
+
+    if os.environ.get("DATAFUSION_TPU_DISABLE_PALLAS"):
+        return None
+    force = os.environ.get("DATAFUSION_TPU_FORCE_PALLAS")
+    if force:
+        return "interpret" if force == "interpret" else "tpu"
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return None
+    return "tpu" if plat in ("tpu", "axon") else None
+
+
+def _pallas_agg_item(a: PhysAggExpr, t: Table):
+    """(data_i64, mask, kind, scale) if `a` is computable by the pallas
+    sum/count kernel (exact int64 limb sums), else None."""
+    if a.distinct or a.udf is not None:
+        return None
+    if a.expr is None:  # COUNT(*)
+        return (None, None, "count", 0)
+    v = a.expr.evaluate(t)
+    if a.fun == "count":
+        return (None, v.valid, "count", 0)
+    if not (v.dtype.is_integer or v.dtype.is_decimal):
+        return None
+    if a.fun == "sum" and a.return_type().storage_np_dtype() == np.int64:
+        return (v.data.astype(jnp.int64), v.valid, "sum", 0)
+    if a.fun == "avg":
+        scale = v.dtype.scale if v.dtype.is_decimal else 0
+        return (v.data.astype(jnp.int64), v.valid, "avg", scale)
+    return None
+
+
+def _pallas_precompute(op, t: Table, gid, domain: int, cap: int):
+    """Run the fused pallas kernel for every eligible aggregate; returns
+    {agg_index: (sum_slots, cnt_slots, kind, scale)} or None."""
+    from ..ops import pallas_kernels as PK
+
+    mode = _pallas_mode()
+    if mode is None or cap % (PK.TILE_SUBLANES * 128) != 0:
+        return None
+    items = {}
+    for ai, a in enumerate(op.aggr_expr):
+        it = _pallas_agg_item(a, t)
+        if it is not None:
+            items[ai] = it
+    if len(items) < 2:  # one [D,N] reduce is fine; the win is amortization
+        return None
+    datas, masks = [], []
+    for d, m, _, _ in items.values():
+        datas.append(d if d is not None else jnp.zeros(cap, jnp.int64))
+        masks.append(m if m is not None else jnp.ones(cap, bool))
+    sums, cnts = PK.smalldomain_sum_count(
+        gid, tuple(datas), tuple(masks), domain, interpret=(mode == "interpret")
+    )
+    return {
+        ai: (sums[:, j], cnts[:, j], it[2], it[3])
+        for j, (ai, it) in enumerate(items.items())
+    }
+
+
+def _slots_from_pallas(a, s_i64, cnt, kind, scale, emit_state):
+    """Map kernel (sum, count) slots into _eval_aggregate_slots' output
+    forms (state layouts must match _agg_out_meta exactly)."""
+    cnt64 = cnt.astype(jnp.int64)
+    ones = jnp.ones_like(cnt64, bool)
+    has = cnt64 > 0
+    if kind == "count":
+        return [(cnt64, ones)]
+    if kind == "sum":
+        if emit_state:
+            return [(s_i64, has), (cnt64, ones)]
+        return [(s_i64, has)]
+    # avg: float state/result, descaled for decimals (same as _slot_float)
+    sf = s_i64.astype(jnp.float64) / (10 ** scale)
+    if emit_state:
+        return [(sf, ones), (cnt64, ones)]
+    return [(sf / jnp.maximum(cnt64, 1), has)]
 
 
 def _masked_reduce_sum(hit, vals, zero):

@@ -51,3 +51,43 @@ def test_all_dead_rows():
     )
     assert np.asarray(sums).sum() == 0
     assert np.asarray(counts).sum() == 0
+
+
+def test_sql_through_pallas_path(monkeypatch):
+    """Full SQL (Q1-shaped) through the forced-interpret pallas path must be
+    row-exact vs pandas, including exact decimal sums."""
+    monkeypatch.setenv("DATAFUSION_TPU_FORCE_PALLAS", "interpret")
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.columnar import Table
+    from datafusion_tpu.types.dtypes import decimal
+
+    rng = np.random.default_rng(0)
+    n = 50000  # cap rounds to 65536 = one kernel tile
+    t = Table.from_pydict(
+        {
+            "flag": rng.choice(["A", "N", "R"], n),
+            "qty": (rng.integers(1, 51, n) * 100).astype(np.int64),
+            "price": rng.integers(90000, 10500000, n),
+        },
+        dtypes={"qty": decimal(15, 2), "price": decimal(15, 2)},
+    )
+    ctx = ExecutionContext()
+    ctx.register_table("t", t)
+    out = (
+        ctx.sql(
+            "SELECT flag, sum(qty) sq, sum(price) sp, avg(qty) aq, count(*) c "
+            "FROM t GROUP BY flag ORDER BY flag"
+        )
+        .collect()
+        .to_pandas()
+    )
+    df = t.to_pandas()
+    exp = (
+        df.groupby("flag")
+        .agg(sq=("qty", "sum"), sp=("price", "sum"), aq=("qty", "mean"), c=("qty", "size"))
+        .reset_index()
+    )
+    assert list(out["c"]) == list(exp["c"])
+    assert np.allclose(out["sq"], exp["sq"])
+    assert np.allclose(out["sp"], exp["sp"])
+    assert np.allclose(out["aq"], exp["aq"])
