@@ -347,9 +347,10 @@ def _group_rows(key_cols, nrows):
         tuple(False for _ in key_cols),
         tuple(True for _ in key_cols),
     )
-    sorted_data = tuple(c.data[perm] for c in key_cols)
-    sorted_valid = tuple(v[perm] for v in valids)
-    sorted_ord = tuple(k[perm] for k in ordkeys)
+    perm32 = perm.astype(jnp.int32)
+    sorted_data = tuple(K.gather64(c.data, perm32) for c in key_cols)
+    sorted_valid = tuple(v[perm32] for v in valids)
+    sorted_ord = tuple(K.gather64(k, perm32) for k in ordkeys)
     gid, ngroups = K.group_ids_sorted(sorted_ord, sorted_valid, nrows)
     return perm, gid, ngroups, list(zip(sorted_data, sorted_valid))
 
@@ -383,8 +384,9 @@ def _eval_aggregate(a: PhysAggExpr, t: Table, perm, gid, cap, alive, ngroups, em
         return [col]
 
     v = a.expr.evaluate(t)
-    data = v.data[perm]
-    valid = v.valid[perm] & alive
+    perm32 = perm.astype(jnp.int32)
+    data = K.gather64(v.data, perm32)
+    valid = v.valid[perm32] & alive
 
     if a.distinct:
         # mask duplicate (group, value) pairs so each distinct value counts once
@@ -495,7 +497,8 @@ def _merge_aggregate(a: PhysAggExpr, state_cols, perm, gid, cap, alive, ngroups)
     gvalid = jnp.arange(cap) < ngroups
 
     def sort_col(c):
-        return c.data[perm], c.valid[perm] & alive
+        p32 = perm.astype(jnp.int32)
+        return K.gather64(c.data, p32), c.valid[p32] & alive
 
     if a.udf is not None:
         rt = a.return_type()

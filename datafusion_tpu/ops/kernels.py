@@ -343,12 +343,13 @@ def segment_max(values, gid, num_segments):
 @jax.jit
 def join_build_sort(build_hash: jnp.ndarray, nrows_build: jnp.ndarray):
     """Sort build side by hash; dead rows pinned to +inf so they sit at the
-    end of the sorted array.  Returns (sorted_hash, order)."""
+    end of the sorted array.  Returns (sorted_hash, order) — one co-sort
+    carrying the row index, no gather."""
     cap = build_hash.shape[0]
     alive = jnp.arange(cap) < nrows_build
     h = jnp.where(alive, build_hash, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    order = jnp.argsort(h, stable=True)
-    return h[order], order
+    (h_s,), (order,) = cosort((h,), (jnp.arange(cap, dtype=jnp.int32),))
+    return h_s, order
 
 
 @jax.jit
@@ -434,19 +435,21 @@ def join_expand(
     # bring slot rows back to dense order: cum rows (tag 0) first, slots
     # after in value order (already dense) — stable sort by tag alone
     _, (pi_s,) = cosort((tag_s,), (n_cum_upto,))
-    probe_idx = pi_s[npr:].astype(jnp.int64)
-    probe_idx = jnp.minimum(probe_idx, lo.shape[0] - 1)
-    offset_in_run = r - starts[probe_idx]
-    build_pos = lo[probe_idx] + offset_in_run
-    build_pos = jnp.clip(build_pos, 0, build_order.shape[0] - 1)
-    build_idx = build_order[build_pos]
+    probe_idx = jnp.minimum(pi_s[npr:], lo.shape[0] - 1)  # int32
+    offset_in_run = r - gather64(starts, probe_idx)
+    build_pos = gather64(lo, probe_idx) + offset_in_run
+    build_pos = jnp.clip(build_pos, 0, build_order.shape[0] - 1).astype(jnp.int32)
+    build_idx = gather64(build_order, build_pos)
+    probe_idx = probe_idx.astype(jnp.int64)
     alive = r < total
     return probe_idx, build_idx, alive, total
 
 
 @jax.jit
 def _verify_accum(ok, pk, pv, bk, bv, probe_idx, build_idx):
-    return ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
+    pi = probe_idx.astype(jnp.int32)
+    bi = build_idx.astype(jnp.int32)
+    return ok & pv[pi] & bv[bi] & (gather64(pk, pi) == gather64(bk, bi))
 
 
 def verify_equal(

@@ -292,11 +292,14 @@ class CompiledStage:
                     kvalids.append(c.valid)
                     descs.append(not s.ascending)
                     nfs.append(s.nulls_first)
-                perm = K.lexsort_perm(
-                    tuple(ordkeys), tuple(kvalids), n, tuple(descs), tuple(nfs)
+                # all columns ride the sorting network as payloads
+                moved, _ = K.lexsort_apply(
+                    tuple(ordkeys), tuple(kvalids),
+                    tuple(cur_d) + tuple(cur_v),
+                    n, tuple(descs), tuple(nfs),
                 )
-                cur_d = [d[perm] for d in cur_d]
-                cur_v = [v[perm] for v in cur_v]
+                cur_d = list(moved[: len(cur_d)])
+                cur_v = list(moved[len(cur_d):])
                 if op.fetch is not None:
                     n = jnp.minimum(n, op.fetch)
                     alive = jnp.arange(cap) < n
@@ -552,17 +555,27 @@ def _pallas_precompute(op, t: Table, gid, domain: int, cap: int):
             items[ai] = it
     if len(items) < 2:  # one [D,N] reduce is fine; the win is amortization
         return None
-    datas, masks = [], []
-    for d, m, _, _ in items.values():
-        datas.append(d if d is not None else jnp.zeros(cap, jnp.int64))
-        masks.append(m if m is not None else jnp.ones(cap, bool))
-    sums, cnts = PK.smalldomain_sum_count(
-        gid, tuple(datas), tuple(masks), domain, interpret=(mode == "interpret")
-    )
-    return {
-        ai: (sums[:, j], cnts[:, j], it[2], it[3])
-        for j, (ai, it) in enumerate(items.items())
-    }
+    # chunk to <= 4 value columns per kernel call: 13 double-buffered VMEM
+    # planes fit comfortably; 22 (7 columns) blow the ~16 MB VMEM budget
+    # and the compile fails
+    out = {}
+    ordered = list(items.items())
+    for lo_i in range(0, len(ordered), 4):
+        chunk = ordered[lo_i : lo_i + 4]
+        datas = tuple(
+            (d if d is not None else jnp.zeros(cap, jnp.int64))
+            for _, (d, _, _, _) in chunk
+        )
+        masks = tuple(
+            (m if m is not None else jnp.ones(cap, bool))
+            for _, (_, m, _, _) in chunk
+        )
+        sums, cnts = PK.smalldomain_sum_count(
+            gid, datas, masks, domain, interpret=(mode == "interpret")
+        )
+        for j, (ai, it) in enumerate(chunk):
+            out[ai] = (sums[:, j], cnts[:, j], it[2], it[3])
+    return out
 
 
 def _slots_from_pallas(a, s_i64, cnt, kind, scale, emit_state):
