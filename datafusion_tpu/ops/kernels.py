@@ -286,7 +286,7 @@ def _segment_positions(gid):
     Only entries [0, #segments) are meaningful; callers mask by ngroups."""
     cap = gid.shape[0]
     boundary = (gid != jnp.roll(gid, 1)).at[0].set(True)
-    first_pos = jnp.argsort(~boundary, stable=True)
+    _, (first_pos,) = cosort((~boundary,), (jnp.arange(cap, dtype=jnp.int32),))
     last_pos = jnp.concatenate(
         [first_pos[1:] - 1, jnp.array([cap - 1], first_pos.dtype)]
     )
@@ -311,7 +311,7 @@ def _segment_scan(values, gid, combine):
 def segment_sum(values, gid, num_segments):
     run = _segment_scan(values, gid, lambda a, b: a + b)
     _, last_pos = _segment_positions(gid)
-    out = run[last_pos]
+    out = gather64(run, last_pos)
     if num_segments != values.shape[0]:  # pragma: no cover - pad/trim
         out = out[:num_segments]
     return out
@@ -320,7 +320,7 @@ def segment_sum(values, gid, num_segments):
 def segment_min(values, gid, num_segments):
     run = _segment_scan(values, gid, jnp.minimum)
     _, last_pos = _segment_positions(gid)
-    out = run[last_pos]
+    out = gather64(run, last_pos)
     if num_segments != values.shape[0]:  # pragma: no cover
         out = out[:num_segments]
     return out
@@ -329,7 +329,7 @@ def segment_min(values, gid, num_segments):
 def segment_max(values, gid, num_segments):
     run = _segment_scan(values, gid, jnp.maximum)
     _, last_pos = _segment_positions(gid)
-    out = run[last_pos]
+    out = gather64(run, last_pos)
     if num_segments != values.shape[0]:  # pragma: no cover
         out = out[:num_segments]
     return out
