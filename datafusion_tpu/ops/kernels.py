@@ -172,15 +172,15 @@ def lexsort_apply(
     (see header note: payload-carrying sorts beat argsort+gather ~6x on
     TPU).  Returns (sorted_payloads, perm-or-None).
 
-    Iterated stable variadic sorts from least- to most-significant key
-    (classic LSD): pass i sorts by (nullrank_i, key_i); the final pass adds
-    a dead-rows-last key.  Later-pass keys and the payloads ride along as
-    sort payloads, so there are ZERO gathers."""
+    ONE variadic stable sort: XLA's sort comparator handles multi-key
+    lexicographic order natively (num_keys > 1), so the key sequence
+    [dead-last, nullrank_1, key_1, nullrank_2, key_2, ...] sorts every key
+    with its null placement in a single network pass — payloads move once,
+    ZERO gathers."""
     cap = ordkeys[0].shape[0]
     nk = len(ordkeys)
 
-    tkeys = []
-    nranks = []
+    keys = [jnp.arange(cap) >= nrows]  # dead rows last, dominates all keys
     for k, v, desc, nf in zip(ordkeys, key_valids, descs, nulls_firsts):
         kk = k
         if desc:
@@ -188,29 +188,15 @@ def lexsort_apply(
                 kk = -kk
             else:
                 kk = jnp.bitwise_not(kk)  # strictly order-reversing
-        tkeys.append(kk)
-        nranks.append(jnp.where(v, 1, 0 if nf else 2).astype(jnp.int32))
+        keys.append(jnp.where(v, 1, 0 if nf else 2).astype(jnp.int32))
+        keys.append(kk)
 
-    dead = jnp.arange(cap) >= nrows
-    state = list(tkeys) + list(nranks) + [dead] + list(payloads)
+    pays = list(payloads)
     if want_perm:
-        state.append(jnp.arange(cap))
-    DEAD = 2 * nk
-
-    for i in reversed(range(nk)):
-        key_ids = ([DEAD] if i == 0 else []) + [nk + i, i]
-        rest = [j for j in range(len(state)) if j not in key_ids]
-        ops = tuple(state[j] for j in key_ids) + tuple(state[j] for j in rest)
-        out = jax.lax.sort(ops, num_keys=len(key_ids), is_stable=True)
-        new_state = [None] * len(state)
-        for pos, j in enumerate(key_ids + rest):
-            new_state[j] = out[pos]
-        state = new_state
-
-    perm = state[-1] if want_perm else None
-    lo = DEAD + 1
-    hi = lo + len(payloads)
-    return tuple(state[lo:hi]), perm
+        pays.append(jnp.arange(cap))
+    _, moved = cosort(tuple(keys), tuple(pays))
+    perm = moved[-1] if want_perm else None
+    return tuple(moved[: len(payloads)]), perm
 
 
 def lexsort_perm(
