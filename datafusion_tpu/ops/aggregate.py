@@ -384,9 +384,15 @@ def _eval_aggregate(a: PhysAggExpr, t: Table, perm, gid, cap, alive, ngroups, em
         return [col]
 
     v = a.expr.evaluate(t)
-    perm32 = perm.astype(jnp.int32)
-    data = K.gather64(v.data, perm32)
-    valid = v.valid[perm32] & alive
+    if perm is None:
+        # the table is already in group-sorted order (its columns rode the
+        # group sort as payloads) — no gathers at all
+        data = v.data
+        valid = v.valid & alive
+    else:
+        perm32 = perm.astype(jnp.int32)
+        data = K.gather64(v.data, perm32)
+        valid = v.valid[perm32] & alive
 
     if a.distinct:
         # mask duplicate (group, value) pairs so each distinct value counts once

@@ -166,6 +166,7 @@ def lexsort_apply(
     descs: tuple,
     nulls_firsts: tuple,
     want_perm: bool = False,
+    dead_mask: jnp.ndarray | None = None,
 ):
     """Sort rows by (k1, k2, ...) with per-key direction and null placement,
     dead rows last, stable — carrying `payloads` through the sorting network
@@ -180,7 +181,9 @@ def lexsort_apply(
     cap = ordkeys[0].shape[0]
     nk = len(ordkeys)
 
-    keys = [jnp.arange(cap) >= nrows]  # dead rows last, dominates all keys
+    # dead rows last, dominating every key; either a row-index prefix
+    # (nrows) or an arbitrary liveness mask (filters folded into `alive`)
+    keys = [jnp.arange(cap) >= nrows if dead_mask is None else dead_mask]
     for k, v, desc, nf in zip(ordkeys, key_valids, descs, nulls_firsts):
         kk = k
         if desc:

@@ -376,32 +376,58 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap, int_ranges=No
             op, t, key_cols, domain, alive, cap, emit_state, int_ranges
         )
 
-    # ---- general path: compact once (co-sort carrying every column,
-    # kernels.py co-sorting note), then sort-group ----
+    # ---- general path: ONE sort — rows ordered by group key with EVERY
+    # column riding as payload and dead rows (filter mask included) landing
+    # last.  No compaction pre-pass, no perm gathers: aggregates evaluate
+    # directly on the sorted table (kernels.py co-sorting note). ----
     n = jnp.sum(alive)
-    live_sorted = jnp.arange(cap) < n
-    _, moved = K.cosort(
-        (~alive,),
-        tuple(c.data for c in t.columns) + tuple(c.valid for c in t.columns),
-    )
+    key_cols_raw = [e.evaluate(t) for e, _ in op.group_expr]
+    ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols_raw)
+    kvalids = tuple(c.valid & alive for c in key_cols_raw)
     ncols = len(t.columns)
-    comp_cols = [
-        Column(c.dtype, d, v & live_sorted, c.dictionary)
-        for c, d, v in zip(t.columns, moved[:ncols], moved[ncols:])
-    ]
-    tc = Table(list(t.names), comp_cols, 0)
-    key_cols = [e.evaluate(tc) for e, _ in op.group_expr]
-    perm, gid, ngroups, sorted_keys = _group_rows(key_cols, n)
-    alive_sorted = live_sorted
+    nk = len(key_cols_raw)
+    payloads = (
+        tuple(c.data for c in t.columns)
+        + tuple(c.valid for c in t.columns)
+        + tuple(c.data for c in key_cols_raw)
+        + kvalids
+        + ordkeys
+    )
+    moved, _ = K.lexsort_apply(
+        ordkeys,
+        kvalids,
+        payloads,
+        n,
+        tuple(False for _ in key_cols_raw),
+        tuple(True for _ in key_cols_raw),
+        dead_mask=~alive,
+    )
+    alive_sorted = jnp.arange(cap) < n
+    s_data = moved[:ncols]
+    s_valid = moved[ncols : 2 * ncols]
+    sk_data = moved[2 * ncols : 2 * ncols + nk]
+    sk_valid = moved[2 * ncols + nk : 2 * ncols + 2 * nk]
+    sk_ord = moved[2 * ncols + 2 * nk :]
+    tc = Table(
+        list(t.names),
+        [
+            Column(c.dtype, d, v & alive_sorted, c.dictionary)
+            for c, d, v in zip(t.columns, s_data, s_valid)
+        ],
+        0,
+    )
+    gid, ngroups = K.group_ids_sorted(sk_ord, sk_valid, n)
     out_d, out_v = [], []
-    for kc, (skd, skv) in zip(key_cols, sorted_keys):
-        fi = _segment_first_index(gid, cap, alive_sorted)
-        out_d.append(skd[fi])
-        out_v.append(skv[fi] & (jnp.arange(cap) < ngroups))
+    fi = _segment_first_index(gid, cap, alive_sorted).astype(jnp.int32)
+    gvalid_rows = jnp.arange(cap) < ngroups
+    for kc, skd, skv in zip(key_cols_raw, sk_data, sk_valid):
+        out_d.append(K.gather64(skd, fi))
+        out_v.append(skv[fi] & gvalid_rows)
+    key_cols = key_cols_raw  # for _agg_out_meta (dtypes/dictionaries)
     agg_dicts = {}
     for a in op.aggr_expr:
         cols = _eval_aggregate(
-            a, tc, perm, gid, cap, alive_sorted, ngroups, emit_state=emit_state
+            a, tc, None, gid, cap, alive_sorted, ngroups, emit_state=emit_state
         )
         if a.fun in ("min", "max") and a.expr is not None and not emit_state:
             agg_dicts[a.name] = cols[0].dictionary
