@@ -28,6 +28,16 @@ import os as _os
 
 import jax as _jax
 
+# Honor JAX_PLATFORMS even when a site hook already registered another
+# backend before this import: the env var alone is silently overridden, so
+# e.g. JAX_PLATFORMS=cpu scripts would otherwise initialize a remote
+# accelerator and block on its health.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+
 # The engine requires 64-bit ints/floats for SQL semantics (BIGINT, DOUBLE,
 # DECIMAL-as-int64).  TPU MXU work stays in 32/16-bit; columnar transforms are
 # memory-bound elementwise/segment ops where x64 emulation is acceptable.
