@@ -31,8 +31,10 @@ import jax as _jax
 # Honor JAX_PLATFORMS even when a site hook already registered another
 # backend before this import: the env var alone is silently overridden, so
 # e.g. JAX_PLATFORMS=cpu scripts would otherwise initialize a remote
-# accelerator and block on its health.
-if _os.environ.get("JAX_PLATFORMS"):
+# accelerator and block on its health.  Only applies while the config is
+# still unset — an explicit jax.config.update("jax_platforms", ...) made
+# before importing this package (e.g. tests/conftest.py) always wins.
+if _os.environ.get("JAX_PLATFORMS") and getattr(_jax.config, "jax_platforms", None) in (None, ""):
     try:
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:  # pragma: no cover - backend already initialized

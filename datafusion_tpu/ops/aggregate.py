@@ -288,32 +288,60 @@ class HashAggregateExec(ExecutionPlan):
         key_cols = t.columns[:nkeys]
 
         if key_cols:
-            perm, gid, ngroups_dev, sorted_keys = _group_rows(key_cols, nrows)
+            # ONE group sort carrying every state column as payload
+            # (kernels.py co-sorting note): no perm gathers afterwards
+            ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
+            kvalids = tuple(c.valid for c in key_cols)
+            nc = len(t.columns)
+            payloads = (
+                tuple(c.data for c in t.columns)
+                + tuple(c.valid for c in t.columns)
+                + ordkeys
+            )
+            moved, _ = K.lexsort_apply(
+                ordkeys,
+                kvalids,
+                payloads,
+                nrows,
+                tuple(False for _ in key_cols),
+                tuple(True for _ in key_cols),
+            )
+            s_data = moved[:nc]
+            s_valid = moved[nc : 2 * nc]
+            s_ord = moved[2 * nc :]
+            gid, ngroups_dev = K.group_ids_sorted(
+                s_ord, tuple(s_valid[:nkeys]), nrows
+            )
             ngroups = int(ngroups_dev)
+            sorted_cols = [
+                Column(c.dtype, d, v, c.dictionary)
+                for c, d, v in zip(t.columns, s_data, s_valid)
+            ]
         else:
-            perm = jnp.arange(cap)
-            gid = jnp.where(jnp.arange(cap) < t.nrows, 0, cap - 1)
+            gid = jnp.where(jnp.arange(cap) < nrows, 0, cap - 1)
             ngroups = 1
-            sorted_keys = []
+            sorted_cols = list(t.columns)
 
-        alive_sorted = jnp.arange(cap) < t.nrows
+        alive_sorted = jnp.arange(cap) < nrows
 
         names = [n for _, n in self.group_expr]
         out_cols: list[Column] = []
-        for kc, (skd, skv) in zip(key_cols, sorted_keys):
-            first_idx = _segment_first_index(gid, cap, alive_sorted)
-            data = skd[first_idx]
-            valid = skv[first_idx] & (jnp.arange(cap) < ngroups)
-            out_cols.append(Column(kc.dtype, data, valid, kc.dictionary))
+        if key_cols:
+            fi = _segment_first_index(gid, cap, alive_sorted).astype(jnp.int32)
+            gv = jnp.arange(cap) < ngroups
+            for kc, sc in zip(key_cols, sorted_cols[:nkeys]):
+                out_cols.append(
+                    Column(kc.dtype, K.gather64(sc.data, fi), sc.valid[fi] & gv, kc.dictionary)
+                )
 
         # state columns follow the group keys in input schema order
         idx = nkeys
         for a in self.aggr_expr:
             nstate = len(a.state_fields())
-            state_cols = t.columns[idx : idx + nstate]
+            state_cols = sorted_cols[idx : idx + nstate]
             idx += nstate
             merged = _merge_aggregate(
-                a, state_cols, perm, gid, cap, alive_sorted, ngroups
+                a, state_cols, None, gid, cap, alive_sorted, ngroups
             )
             names.append(a.name)
             out_cols.append(merged)
@@ -503,6 +531,8 @@ def _merge_aggregate(a: PhysAggExpr, state_cols, perm, gid, cap, alive, ngroups)
     gvalid = jnp.arange(cap) < ngroups
 
     def sort_col(c):
+        if perm is None:  # column already rode the group sort
+            return c.data, c.valid & alive
         p32 = perm.astype(jnp.int32)
         return K.gather64(c.data, p32), c.valid[p32] & alive
 
