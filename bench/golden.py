@@ -47,6 +47,19 @@ def load_sqlite(data: dict[str, dict]) -> sqlite3.Connection:
         rows = list(zip(*arrays))
         ph = ", ".join("?" for _ in names)
         conn.executemany(f"INSERT INTO {tname} VALUES ({ph})", rows)
+    # join-key indexes: without them sqlite evaluates TPC-H's correlated
+    # EXISTS subqueries (q4/q21/q22) as nested full scans — hours at SF>=0.1
+    for tname, cols in (
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("part", ["p_partkey"]),
+        ("partsupp", ["ps_partkey", "ps_suppkey"]),
+    ):
+        if tname in data:
+            for c in cols:
+                conn.execute(f'CREATE INDEX IF NOT EXISTS idx_{tname}_{c} ON {tname}("{c}")')
     conn.commit()
     return conn
 
