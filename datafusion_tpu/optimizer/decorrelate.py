@@ -125,7 +125,9 @@ def _rewrite_conjunct(c: Expr, input_plan: LogicalPlan):
     if isinstance(c, InSubquery):
         sub = _decorrelate(c.subquery)
         value_field = sub.schema().fields[0]
-        sub, keys, residual, alias = _extract_correlations(sub)
+        sub, keys, residual, alias = _extract_correlations(
+            sub, keep_cols=(Column(value_field.name, value_field.qualifier),)
+        )
         in_key = (c.expr, Column(value_field.name, alias))
         jt = "anti" if c.negated else "semi"
         return None, Join(input_plan, sub, [in_key] + keys, jt, residual)
@@ -147,7 +149,9 @@ def _rewrite_conjunct(c: Expr, input_plan: LogicalPlan):
     for sq in subqueries:
         sub = _decorrelate(sq.subquery)
         value_field = sub.schema().fields[0]
-        sub2, keys, residual, alias = _extract_correlations(sub)
+        sub2, keys, residual, alias = _extract_correlations(
+            sub, keep_cols=(Column(value_field.name, value_field.qualifier),)
+        )
         value_col = Column(value_field.name, alias)
         if keys or residual is not None:
             input_plan = Join(input_plan, sub2, keys, "left", residual)
@@ -169,7 +173,7 @@ def _rewrite_conjunct(c: Expr, input_plan: LogicalPlan):
 # ---------------------------------------------------------------------------
 
 
-def _extract_correlations(sub: LogicalPlan):
+def _extract_correlations(sub: LogicalPlan, keep_cols: tuple = ()):
     """Strip correlated predicates out of `sub`.
 
     Returns (rewritten sub wrapped in SubqueryAlias, join keys
@@ -202,6 +206,21 @@ def _extract_correlations(sub: LogicalPlan):
     # adding them through Projection/Aggregate layers when needed
     inner_needed = [k[1] for k in keys] + extra_inner_cols
     sub = _expose_columns(sub, inner_needed)
+
+    # the consumer sees the subquery ONLY through the join keys, the
+    # residual predicate, and (for IN / scalar subqueries) `keep_cols`:
+    # project to exactly those columns so e.g. q21's EXISTS does not drag
+    # all 16 lineitem columns through the semi-join build side
+    ss = sub.schema()
+    proj, seen = [], set()
+    for c in list(keep_cols) + inner_needed:
+        f = ss.field_from_column(c.name, c.relation)
+        key = (f.qualifier, f.name)
+        if key not in seen:
+            seen.add(key)
+            proj.append(Column(f.name, f.qualifier))
+    if proj and len(proj) < len(ss.fields):
+        sub = Projection(proj, sub)
 
     alias = f"__sq_{next(_alias_counter)}"
     sub_schema = sub.schema()

@@ -20,6 +20,10 @@ class ProjectionPushDown(OptimizerRule):
     name = "projection_push_down"
 
     def optimize(self, plan: LogicalPlan) -> LogicalPlan:
+        # collapse Projection-over-Projection first (decorrelation emits
+        # narrow pruning projections above wide ones; merging them lets the
+        # scan narrow too)
+        plan = transform_plan_up(plan, _merge_projections)
         refs: dict[str | None, set[str]] = {}
         # Columns visible in the plan's OUTPUT are required even if no
         # expression references them: a bare `ctx.table("t").collect()` (or
@@ -43,6 +47,34 @@ class ProjectionPushDown(OptimizerRule):
             return L.TableScan(p.table_name, p.source, proj, p.filters, p.limit)
 
         return transform_plan_up(plan, fix)
+
+
+def _merge_projections(p: LogicalPlan) -> LogicalPlan:
+    """Projection(outer) over Projection(inner) -> one Projection, when the
+    outer exprs are plain column refs into the inner projection."""
+    if not (
+        isinstance(p, L.Projection)
+        and isinstance(p.input, L.Projection)
+        and p.input.alias is None
+    ):
+        return p
+    inner = p.input
+    in_fields = inner.schema().fields
+    by_key = {}
+    for f, e in zip(in_fields, inner.exprs):
+        by_key[(f.qualifier, f.name)] = e
+        by_key.setdefault((None, f.name), e)
+    from ..logical.expr import Column as C
+
+    new_exprs = []
+    for e in p.exprs:
+        if not isinstance(e, C):
+            return p  # only merge pure column selections
+        sub = by_key.get((e.relation, e.name))
+        if sub is None:
+            return p
+        new_exprs.append(sub)
+    return L.Projection(new_exprs, inner.input, p.alias)
 
 
 def _mark_output_visible(plan: LogicalPlan, refs: dict):
