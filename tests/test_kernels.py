@@ -1,0 +1,117 @@
+"""Direct property tests for the co-sort/merge-rank kernel primitives
+(ops/kernels.py) against numpy reference implementations.
+
+These are the TPU-native replacements for the reference's arrow compute
+kernels (filter/take/lexsort/searchsorted; SURVEY.md §7 translations) —
+the SQL suites cover them end-to-end, but edge cases (ties, all-dead,
+empty ranges, duplicate runs) deserve pinpoint coverage."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from datafusion_tpu.ops import kernels as K
+
+
+@pytest.fixture(params=[0, 1, 2])
+def rng(request):
+    return np.random.default_rng(request.param)
+
+
+def test_filter_compact_matches_numpy(rng):
+    cap = 4096
+    n = 3000
+    keep = rng.random(cap) > 0.6
+    data = rng.integers(-(10**12), 10**12, cap)
+    valid = rng.random(cap) > 0.1
+    d, v, cnt = K.filter_compact(
+        (jnp.asarray(data),), (jnp.asarray(valid),), jnp.asarray(keep), np.int64(n)
+    )
+    kept = keep[:n]
+    exp_d = data[:n][kept]
+    exp_v = valid[:n][kept]
+    cnt = int(cnt)
+    assert cnt == kept.sum()
+    assert np.array_equal(np.asarray(d[0])[:cnt], exp_d)
+    assert np.array_equal(np.asarray(v[0])[:cnt], exp_v)
+    assert not np.asarray(v[0])[cnt:].any()  # dead rows invalid
+
+
+def test_lexsort_apply_multi_key_with_nulls(rng):
+    cap = 4096
+    n = 3500
+    k1 = rng.integers(0, 5, cap)
+    k2 = rng.integers(0, 7, cap)
+    v1 = rng.random(cap) > 0.2
+    v2 = rng.random(cap) > 0.2
+    payload = np.arange(cap)
+
+    moved, perm = K.lexsort_apply(
+        (jnp.asarray(k1), jnp.asarray(k2)),
+        (jnp.asarray(v1), jnp.asarray(v2)),
+        (jnp.asarray(payload),),
+        np.int64(n),
+        (True, False),  # k1 DESC, k2 ASC
+        (False, True),  # k1 NULLS LAST, k2 NULLS FIRST
+        want_perm=True,
+    )
+    got = np.asarray(moved[0])[:n]
+    # numpy reference: stable sort by (k2 then k1) with null ranks
+    nr1 = np.where(v1[:n], 1, 2)  # nulls last
+    nr2 = np.where(v2[:n], 1, 0)  # nulls first
+    order = np.arange(n)
+    order = order[np.argsort(k2[:n][order], kind="stable")]
+    order = order[np.argsort(nr2[order], kind="stable")]
+    order = order[np.argsort(-k1[:n][order], kind="stable")]
+    order = order[np.argsort(nr1[order], kind="stable")]
+    assert np.array_equal(got, payload[:n][order])
+    assert np.array_equal(np.asarray(perm)[:n], order)
+
+
+def test_join_probe_counts_vs_searchsorted(rng):
+    nb, npr = 2048, 1024
+    build = np.sort(rng.integers(0, 300, nb)).astype(np.uint64)
+    probe = rng.integers(0, 400, npr).astype(np.uint64)
+    alive = rng.random(npr) > 0.1
+    nrows_build = 1800
+    lo, cnts = K.join_probe_counts(
+        jnp.asarray(build), jnp.asarray(probe), jnp.asarray(alive), np.int64(nrows_build)
+    )
+    elo = np.searchsorted(build, probe, side="left")
+    ehi = np.minimum(np.searchsorted(build, probe, side="right"), nrows_build)
+    elo = np.minimum(elo, ehi)
+    ecnt = np.where(alive, ehi - elo, 0)
+    elo = np.where(alive, elo, 0)
+    assert np.array_equal(np.asarray(cnts), ecnt)
+    assert np.array_equal(np.asarray(lo), elo)
+
+
+def test_join_expand_dense_rank(rng):
+    npr = 512
+    counts = rng.integers(0, 4, npr).astype(np.int64)
+    lo = np.cumsum(rng.integers(0, 3, npr)).astype(np.int64)
+    build_order = rng.permutation(4096).astype(np.int64)
+    out_cap = 4096
+    pi, bi, alive, total = K.join_expand(
+        jnp.asarray(lo), jnp.asarray(counts), jnp.asarray(build_order), out_cap
+    )
+    cum = np.cumsum(counts)
+    epi = np.searchsorted(cum, np.arange(out_cap), side="right")
+    epi = np.minimum(epi, npr - 1)
+    tot = cum[-1]
+    assert int(total) == tot
+    assert np.array_equal(np.asarray(pi)[:tot], epi[:tot])
+    starts = cum - counts
+    off = np.arange(out_cap)[:tot] - starts[epi[:tot]]
+    ebi = build_order[np.minimum(lo[epi[:tot]] + off, 4095)]
+    assert np.array_equal(np.asarray(bi)[:tot], ebi)
+
+
+def test_gather64_roundtrip(rng):
+    cap = 4096
+    for dtype in (np.int64, np.float64, np.uint64, np.int32, np.float32):
+        data = rng.integers(-(10**9), 10**9, cap).astype(dtype)
+        idx = rng.integers(0, cap, 777)
+        got = np.asarray(K.gather64(jnp.asarray(data), jnp.asarray(idx)))
+        assert np.array_equal(got, data[idx]), dtype
