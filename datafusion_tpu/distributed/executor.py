@@ -71,7 +71,13 @@ class Executor:
             )
             assert isinstance(plan, ShuffleWriterExec)
             bind_scan_partition(plan, part, self.store)
-            stats = plan.execute_shuffle_write()
+            from ..ops import kernels as K
+
+            with K.spec_window() as w:
+                stats = plan.execute_shuffle_write()
+            if w.overflowed():  # fan-out beyond speculative sizing: redo exactly
+                with K.spec_exact():
+                    stats = plan.execute_shuffle_write()
             self.scheduler.task_completed(
                 self.executor_id, job_id, stage_id, part, stats
             )

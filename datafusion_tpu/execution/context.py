@@ -65,6 +65,15 @@ class ExecutionConfig:
         return self
 
 
+def _pin_joins_exact(plan) -> None:
+    from ..ops.join import HashJoinExec
+
+    if isinstance(plan, HashJoinExec):
+        plan._force_exact = True
+    for c in plan.children():
+        _pin_joins_exact(c)
+
+
 def default_optimizer_rules() -> list:
     """Default logical pipeline (mirrors context.rs:685-695's list, adapted:
     decorrelation + cross-join elimination are load-bearing here)."""
@@ -319,7 +328,17 @@ class ExecutionContext:
             # volatile expressions must not freeze (now() is folded per query)
             if "now()" not in key[0] and len(self._plan_cache) < 256:
                 self._plan_cache[key] = phys
-        out = phys.execute()
+        from ..ops import kernels as K
+
+        with K.spec_window() as w:
+            out = phys.execute()
+        if w.overflowed():
+            # a speculatively-sized join overflowed (fan-out beyond probe
+            # capacity): re-execute with exact sizing, and pin this cached
+            # plan's joins to exact so repeated runs don't re-overflow
+            _pin_joins_exact(phys)
+            with K.spec_exact():
+                out = phys.execute()
         # final output uses unqualified display names (keep the row count
         # lazy: callers sync once when they read data)
         if len(display) == len(out.names):

@@ -78,7 +78,10 @@ class HashJoinExec(ExecutionPlan):
     def _execute(self) -> Table:
         lt = self.left.execute()
         rt = self.right.execute()
-        return join_tables(lt, rt, self.on, self.join_type, self.filter, self.metrics)
+        return join_tables(
+            lt, rt, self.on, self.join_type, self.filter, self.metrics,
+            force_exact=getattr(self, "_force_exact", False),
+        )
 
     def _display_line(self):
         on = ", ".join(f"{l!r}={r!r}" for l, r in self.on)
@@ -86,12 +89,16 @@ class HashJoinExec(ExecutionPlan):
         return f"HashJoinExec[{self.join_type}]: on=[{on}]{f}"
 
 
-def join_tables(lt: Table, rt: Table, on, join_type: str, filter, metrics=None) -> Table:
+def join_tables(
+    lt: Table, rt: Table, on, join_type: str, filter, metrics=None,
+    force_exact: bool = False,
+) -> Table:
     """Equi-join dispatcher: inner/semi/anti run through the two-phase
-    jitted path (count program -> expand/verify/materialize program; two
-    host syncs total); left/right/full keep the composed path."""
+    jitted path (count program, then expand/verify/materialize — at most
+    one host sync, zero under speculation); left/right/full keep the
+    composed path."""
     if join_type in ("inner", "semi", "anti"):
-        return _join_tables_jit(lt, rt, on, join_type, filter, metrics)
+        return _join_tables_jit(lt, rt, on, join_type, filter, metrics, force_exact)
     return _join_tables_eager(lt, rt, on, join_type, filter, metrics)
 
 
@@ -123,7 +130,7 @@ def _join_keys(ltv: Table, rtv: Table, on):
     return lkeys, rkeys
 
 
-def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
+def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=False) -> Table:
     lcap, rcap = lt.capacity, rt.capacity
     base_key = (_table_sig(lt), _table_sig(rt), repr(on), join_type, repr(filter))
 
@@ -158,10 +165,17 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None) -> Table:
     rv = tuple(c.valid for c in rt.columns)
     nl, nr = lt.nrows_dev, rt.nrows_dev
     lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
-    total = int(total_dev)  # the join's ONE host sync: sizes the output
-    out_cap = round_capacity(max(total, 1))
-    if metrics is not None:
-        metrics.counter("join_candidates").add(total)
+    if K.spec_active() and not force_exact:
+        # speculative sizing: probe-capacity output, overflow flag checked
+        # once per query by the speculation window (kernels.py note) —
+        # ZERO host syncs in this join
+        out_cap = lcap
+        K.spec_record((total_dev > out_cap).astype(jnp.int32))
+    else:
+        total = int(total_dev)  # the join's ONE host sync: sizes the output
+        out_cap = round_capacity(max(total, 1))
+        if metrics is not None:
+            metrics.counter("join_candidates").add(total)
 
     entry_b = _JOIN_JIT_CACHE.get(("B", out_cap) + base_key)
     if entry_b is None:

@@ -325,6 +325,84 @@ def segment_max(values, gid, num_segments):
 
 
 # ---------------------------------------------------------------------------
+# speculative join sizing
+#
+# The equi-join's one remaining host sync reads the candidate total to size
+# the output buffer (~28 ms fixed latency per sync through a remote-TPU
+# serving path).  Inside a speculation window the join instead sizes its
+# output to the probe capacity — exact for FK joins, where each probe row
+# matches at most one build row — and records a device-side overflow flag.
+# The window owner checks the flags ONCE per query and re-executes in exact
+# mode in the (rare) fan-out case.  Mirrors SURVEY.md §7 hard part (a):
+# capacity estimation + overflow/retry.
+# ---------------------------------------------------------------------------
+
+
+class _Speculation:
+    def __init__(self):
+        import os
+
+        self.enabled = not os.environ.get("DATAFUSION_TPU_NO_SPECULATIVE_JOINS")
+        self.window_depth = 0
+        self.exact = False
+        self.flags: list = []
+
+
+SPECULATION = _Speculation()
+
+
+def spec_active() -> bool:
+    s = SPECULATION
+    return s.enabled and s.window_depth > 0 and not s.exact
+
+
+def spec_record(flag) -> None:
+    SPECULATION.flags.append(flag)
+
+
+class _SpecWindow:
+    def __enter__(self):
+        SPECULATION.window_depth += 1
+        if SPECULATION.window_depth == 1:
+            SPECULATION.flags = []
+        return self
+
+    def __exit__(self, *exc):
+        SPECULATION.window_depth -= 1
+        return False
+
+    def overflowed(self) -> bool:
+        """ONE host sync over all recorded flags; true => rerun exactly."""
+        flags, SPECULATION.flags = SPECULATION.flags, []
+        if not flags:
+            return False
+        total = flags[0]
+        for f in flags[1:]:
+            total = total + f
+        return int(total) > 0
+
+
+def spec_window() -> _SpecWindow:
+    return _SpecWindow()
+
+
+class _SpecExact:
+    def __enter__(self):
+        self._old = SPECULATION.exact
+        SPECULATION.exact = True
+        SPECULATION.flags = []
+        return self
+
+    def __exit__(self, *exc):
+        SPECULATION.exact = self._old
+        return False
+
+
+def spec_exact() -> _SpecExact:
+    return _SpecExact()
+
+
+# ---------------------------------------------------------------------------
 # join candidate generation (sorted-hash probe)
 # ---------------------------------------------------------------------------
 
