@@ -53,6 +53,29 @@ class LogicalPlan:
             s += "\n" + i.display(indent + 1)
         return s
 
+    def display_graphviz(self) -> str:
+        """DOT rendering of the plan tree (logical_plan/display.rs
+        GraphvizVisitor equivalent)."""
+        lines = [
+            "digraph {",
+            "  node [shape=box, fontname=monospace];",
+        ]
+        counter = [0]
+
+        def walk(p) -> int:
+            nid = counter[0]
+            counter[0] += 1
+            label = p._display_line().replace('"', '\\"')
+            lines.append(f'  n{nid} [label="{label}"];')
+            for i in p.inputs():
+                cid = walk(i)
+                lines.append(f"  n{nid} -> n{cid};")
+            return nid
+
+        walk(self)
+        lines.append("}")
+        return "\n".join(lines)
+
     def _display_line(self) -> str:
         return type(self).__name__
 

@@ -85,3 +85,17 @@ def test_explain_verbose_captures_rules(ctx):
     assert kinds[0] == "initial_logical_plan"
     assert any(k.startswith("logical_plan after ") for k in kinds)
     assert kinds[-1] == "physical_plan"
+
+
+def test_display_graphviz():
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.columnar import Table
+
+    ctx = ExecutionContext()
+    ctx.register_table("t", Table.from_pydict({"a": [1, 2], "b": [3.0, 4.0]}))
+    plan = ctx.optimize(
+        ctx.create_logical_plan("SELECT a, sum(b) FROM t WHERE a > 0 GROUP BY a")
+    )
+    dot = plan.display_graphviz()
+    assert dot.startswith("digraph {") and dot.endswith("}")
+    assert "Aggregate" in dot and "->" in dot
