@@ -81,6 +81,54 @@ class WindowAggExec(ExecutionPlan):
 
     def _execute(self) -> Table:
         t = self.input.execute()
+        # whole-window jit: the sort, partition detection, and every window
+        # expression trace into ONE XLA program (eager dispatch costs ~3 ms
+        # per op through a remote-TPU serving path)
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        key = (
+            t.capacity,
+            tuple(str(c.dtype) for c in t.columns),
+            tuple(id(c.dictionary) for c in t.columns),
+        )
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            names0 = list(t.names)
+            dtypes0 = [c.dtype for c in t.columns]
+            dicts0 = [c.dictionary for c in t.columns]
+            meta_box: list = []
+
+            def body(datas, valids, nrows):
+                cols_in = [
+                    Column(dt, d, v, dic)
+                    for dt, dic, d, v in zip(dtypes0, dicts0, datas, valids)
+                ]
+                view = Table(list(names0), cols_in, 0)
+                out_names, out_cols = self._traced_window(view, nrows, t.capacity)
+                if not meta_box:
+                    meta_box.append(
+                        [(n, c.dtype, c.dictionary) for n, c in zip(out_names, out_cols)]
+                    )
+                return tuple(c.data for c in out_cols), tuple(
+                    c.valid for c in out_cols
+                )
+
+            entry = (jax.jit(body), meta_box)
+            self._jit_cache[key] = entry
+        fn, meta_box = entry
+        out_d, out_v = fn(
+            tuple(c.data for c in t.columns),
+            tuple(c.valid for c in t.columns),
+            t.nrows_dev,
+        )
+        meta = meta_box[0]
+        cols = [
+            Column(dt, d, v, dic)
+            for (nm, dt, dic), d, v in zip(meta, out_d, out_v)
+        ]
+        return Table([nm for nm, _, _ in meta], cols, t.nrows_dev)
+
+    def _traced_window(self, t: Table, nrows, cap):
         # all window exprs in one exec share partition/order (the planner
         # groups them); sort once by the first expr's keys
         w0 = self.window_exprs[0]
@@ -90,10 +138,8 @@ class WindowAggExec(ExecutionPlan):
         if sort_specs:
             from .sort import sort_table
 
-            t = sort_table(t, sort_specs)
-        cap = t.capacity
-        nrows = np.int64(t.nrows)
-        alive = jnp.arange(cap) < t.nrows
+            t = sort_table(Table(t.names, t.columns, nrows), sort_specs)
+        alive = jnp.arange(cap) < nrows
 
         # partition ids
         if w0.partition_by:
@@ -113,7 +159,7 @@ class WindowAggExec(ExecutionPlan):
         for w in self.window_exprs:
             names.append(w.name)
             cols.append(self._eval_window(w, t, gid, pos_in_seg, seg_start, alive, cap))
-        return Table(names, cols, t.nrows)
+        return names, cols
 
     # ------------------------------------------------------------------
     def _eval_window(self, w: PhysWindowExpr, t, gid, pos, seg_start, alive, cap) -> Column:
