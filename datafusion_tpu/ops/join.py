@@ -33,7 +33,6 @@ from ..exprs.physical import PhysicalExpr, harmonize_strings
 from ..types import Field, Schema
 from . import kernels as K
 from .base import ExecutionPlan
-from .basic import concat_tables
 
 JOIN_TYPES = ("inner", "left", "right", "full", "semi", "anti")
 
@@ -93,13 +92,11 @@ def join_tables(
     lt: Table, rt: Table, on, join_type: str, filter, metrics=None,
     force_exact: bool = False,
 ) -> Table:
-    """Equi-join dispatcher: inner/semi/anti run through the two-phase
-    jitted path (count program, then expand/verify/materialize — at most
-    one host sync, zero under speculation); left/right/full keep the
-    composed path."""
-    if join_type in ("inner", "semi", "anti"):
-        return _join_tables_jit(lt, rt, on, join_type, filter, metrics, force_exact)
-    return _join_tables_eager(lt, rt, on, join_type, filter, metrics)
+    """Equi-join dispatcher: every join type runs through the two-phase
+    jitted path (count program, then one expand/verify/materialize
+    program) — at most one host sync; inner/semi/anti run with zero under
+    speculative sizing."""
+    return _join_tables_jit(lt, rt, on, join_type, filter, metrics, force_exact)
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +162,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
     rv = tuple(c.valid for c in rt.columns)
     nl, nr = lt.nrows_dev, rt.nrows_dev
     lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
-    if K.spec_active() and not force_exact:
+    if K.spec_active() and not force_exact and join_type in ("inner", "semi", "anti"):
         # speculative sizing: probe-capacity output, overflow flag checked
         # once per query by the speculation window (kernels.py note) —
         # ZERO host syncs in this join
@@ -216,18 +213,61 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
                 ]
                 return tuple(out_d), tuple(out_v), cnt
 
-            # semi / anti: per-probe any-match from the contiguous candidate
-            # runs (probe_idx is non-decreasing) — prefix sums, no scatter
-            cum = jnp.cumsum(counts)
-            starts = cum - counts
-            mc = jnp.cumsum(ok.astype(jnp.int32))
-            hi = jnp.clip(cum - 1, 0, out_cap - 1)
-            lo_prev = jnp.clip(starts - 1, 0, out_cap - 1)
-            in_run = mc[hi] - jnp.where(starts > 0, mc[lo_prev], 0)
-            matched = (counts > 0) & (in_run > 0)
-            l_alive = jnp.arange(lcap) < nl
-            keep = (matched if join_type == "semi" else ~matched) & l_alive
-            return K.filter_compact(ld, lv, keep, nl)
+            if join_type in ("semi", "anti"):
+                # per-probe any-match from the contiguous candidate runs
+                # (probe_idx is non-decreasing) — prefix sums, no scatter
+                matched = _any_match_per_probe(counts, ok, out_cap)
+                l_alive = jnp.arange(lcap) < nl
+                keep = (matched if join_type == "semi" else ~matched) & l_alive
+                return K.filter_compact(ld, lv, keep, nl)
+
+            # left / right / full outer: matched pairs, then the unmatched
+            # side(s) padded with nulls, squeezed by ONE compaction co-sort
+            cnt = jnp.sum(ok)
+            _, (pc, bc) = K.cosort((~ok,), (probe_idx, build_idx))
+            pair_live = jnp.arange(out_cap) < cnt
+            pc32 = pc.astype(jnp.int32)
+            bc32 = bc.astype(jnp.int32)
+            col_d = [[K.gather64(d, pc32)] for d in ld] + [
+                [K.gather64(d, bc32)] for d in rd
+            ]
+            col_v = [[v[pc32] & pair_live] for v in lv] + [
+                [v[bc32] & pair_live] for v in rv
+            ]
+            nld = len(ld)
+            alive_segs = [pair_live]
+            if join_type in ("left", "full"):
+                match_probe = _any_match_per_probe(counts, ok, out_cap)
+                l_alive = jnp.arange(lcap) < nl
+                lw = l_alive & ~match_probe
+                for i, d in enumerate(ld):
+                    col_d[i].append(d)
+                    col_v[i].append(lv[i] & lw)
+                for j, d in enumerate(rd):
+                    col_d[nld + j].append(jnp.zeros(lcap, d.dtype))
+                    col_v[nld + j].append(jnp.zeros(lcap, bool))
+                alive_segs.append(lw)
+            if join_type in ("right", "full"):
+                visited = (
+                    jnp.zeros(rcap, bool)
+                    .at[build_idx.astype(jnp.int32)]
+                    .max(ok, mode="drop")
+                )
+                r_alive = jnp.arange(rcap) < nr
+                rw = r_alive & ~visited
+                for i, d in enumerate(ld):
+                    col_d[i].append(jnp.zeros(rcap, d.dtype))
+                    col_v[i].append(jnp.zeros(rcap, bool))
+                for j, d in enumerate(rd):
+                    col_d[nld + j].append(d)
+                    col_v[nld + j].append(rv[j] & rw)
+                alive_segs.append(rw)
+            alive_all = jnp.concatenate(alive_segs)
+            datas_all = tuple(jnp.concatenate(s) for s in col_d)
+            valids_all = tuple(jnp.concatenate(s) for s in col_v)
+            return K.filter_compact(
+                datas_all, valids_all, alive_all, jnp.int64(alive_all.shape[0])
+            )
 
         entry_b = jax.jit(phase_b)
         _JOIN_JIT_CACHE[("B", out_cap) + base_key] = entry_b
@@ -239,14 +279,14 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
     # no shrink decision needs the verified count on the host (Table
     # materializes it lazily if someone asks)
 
-    if join_type == "inner":
-        names = list(lt.names) + list(rt.names)
-        dts = [c.dtype for c in lt.columns] + [c.dtype for c in rt.columns]
-        dics = [c.dictionary for c in lt.columns] + [c.dictionary for c in rt.columns]
-    else:
+    if join_type in ("semi", "anti"):
         names = list(lt.names)
         dts = [c.dtype for c in lt.columns]
         dics = [c.dictionary for c in lt.columns]
+    else:
+        names = list(lt.names) + list(rt.names)
+        dts = [c.dtype for c in lt.columns] + [c.dtype for c in rt.columns]
+        dics = [c.dictionary for c in lt.columns] + [c.dictionary for c in rt.columns]
     cols = [Column(dt, d, v, dic) for dt, dic, d, v in zip(dts, dics, out_d, out_v)]
     return Table(names, cols, cnt_dev)
 
@@ -257,88 +297,6 @@ def _view(base: Table, datas, valids) -> Table:
         for c, d, v in zip(base.columns, datas, valids)
     ]
     return Table(list(base.names), cols, 0)
-
-
-def _join_tables_eager(lt: Table, rt: Table, on, join_type: str, filter, metrics=None) -> Table:
-    lcap, rcap = lt.capacity, rt.capacity
-    nl, nr = np.int64(lt.nrows), np.int64(rt.nrows)
-
-    # ---- evaluate + harmonize keys -----------------------------------------
-    lkeys, rkeys = [], []
-    for le, re_ in on:
-        lc = le.evaluate(lt)
-        rc = re_.evaluate(rt)
-        if lc.dtype.is_string and rc.dtype.is_string:
-            lc, rc = harmonize_strings(lc, rc)
-        lkeys.append(lc)
-        rkeys.append(rc)
-
-    lord = [K.orderable_key(c.data, c.dtype) for c in lkeys]
-    rord = [K.orderable_key(c.data, c.dtype) for c in rkeys]
-    lval = [c.valid for c in lkeys]
-    rval = [c.valid for c in rkeys]
-
-    lhash = K.hash_columns([K.hashable_key(c.data, c.dtype) for c in lkeys], lval)
-    rhash = K.hash_columns([K.hashable_key(c.data, c.dtype) for c in rkeys], rval)
-
-    # ---- build (sort right) + probe counts ----------------------------------
-    sorted_hash, build_order = K.join_build_sort(rhash, nr)
-    l_alive = jnp.arange(lcap) < nl
-    probe_ok = l_alive
-    for v in lval:
-        probe_ok = probe_ok & v
-    lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
-
-    total = int(jnp.sum(counts))
-    out_cap = round_capacity(max(total, 1))
-    probe_idx, build_idx, pair_alive, _ = K.join_expand(lo, counts, build_order, out_cap)
-
-    ok = K.verify_equal(
-        tuple(lord), tuple(lval), tuple(rord), tuple(rval), probe_idx, build_idx, pair_alive
-    )
-
-    # ---- residual filter on candidate pairs ----------------------------------
-    if filter is not None:
-        pair_table = _gather_pair_table(lt, rt, probe_idx, build_idx, out_cap)
-        fres = filter.evaluate(pair_table)
-        ok = ok & fres.data.astype(bool) & fres.valid
-
-    if metrics is not None:
-        metrics.counter("join_candidates").add(total)
-
-    # ---- semi / anti ---------------------------------------------------------
-    if join_type in ("semi", "anti"):
-        match_per_probe = _any_match_per_probe(counts, ok, out_cap)
-        keep = match_per_probe if join_type == "semi" else ~match_per_probe
-        return _filter_table(lt, keep)
-
-    # ---- inner core -----------------------------------------------------------
-    matched = _materialize_pairs(lt, rt, probe_idx, build_idx, ok, out_cap)
-
-    if join_type == "inner":
-        return matched
-
-    out_schema = Schema(
-        [Field(n, c.dtype, True) for n, c in zip(matched.names, matched.columns)]
-    )
-    parts = [matched]
-
-    if join_type in ("left", "full"):
-        match_per_probe = _any_match_per_probe(counts, ok, out_cap)
-        unmatched = l_alive & ~match_per_probe
-        left_rest = _filter_table(lt, unmatched)
-        parts.append(_pad_right_nulls(left_rest, rt))
-    if join_type in ("right", "full"):
-        visited = jnp.zeros(rcap, bool).at[build_idx].max(ok, mode="drop")
-        r_alive = jnp.arange(rcap) < nr
-        unmatched_r = r_alive & ~visited
-        right_rest = _filter_table(rt, unmatched_r)
-        parts.append(_pad_left_nulls(lt, right_rest))
-
-    return concat_tables(parts, out_schema)
-
-
-# ---------------------------------------------------------------------------
 
 
 def _any_match_per_probe(counts, ok, out_cap):
@@ -366,80 +324,6 @@ def _gather_pair_table(lt: Table, rt: Table, probe_idx, build_idx, out_cap) -> T
         cols.append(Column(c.dtype, K.gather64(c.data, bi), c.valid[bi], c.dictionary))
         names.append(n)
     return Table(names, cols, out_cap)
-
-
-def _materialize_pairs(lt: Table, rt: Table, probe_idx, build_idx, ok, out_cap) -> Table:
-    """Compact verified pairs and gather both sides.
-
-    Compaction by co-sorting the index pairs keyed on ~ok, then one
-    pair-gather per output column — never a scatter (cap-sized scatters
-    cost ~100x more than gathers on TPU; see kernels.py co-sorting note)."""
-    cnt_dev = jnp.sum(ok)
-    _, (probe_c, build_c) = K.cosort((~ok,), (probe_idx, build_idx))
-    live = jnp.arange(out_cap) < cnt_dev
-    pc = probe_c.astype(jnp.int32)
-    bc = build_c.astype(jnp.int32)
-    cnt = int(cnt_dev)
-    cols = []
-    names = []
-    for n, c in zip(lt.names, lt.columns):
-        d = K.gather64(c.data, pc)
-        v = c.valid[pc] & live
-        cols.append(Column(c.dtype, d, v, c.dictionary))
-        names.append(n)
-    for n, c in zip(rt.names, rt.columns):
-        d = K.gather64(c.data, bc)
-        v = c.valid[bc] & live
-        cols.append(Column(c.dtype, d, v, c.dictionary))
-        names.append(n)
-    return Table(names, cols, cnt)
-
-
-def _filter_table(t: Table, keep) -> Table:
-    datas = tuple(c.data for c in t.columns)
-    valids = tuple(c.valid for c in t.columns)
-    d2, v2, cnt = K.filter_compact(datas, valids, keep, np.int64(t.nrows))
-    cols = [Column(c.dtype, d, v, c.dictionary) for c, d, v in zip(t.columns, d2, v2)]
-    return Table(t.names, cols, int(cnt))
-
-
-def _pad_right_nulls(left_part: Table, rt: Table) -> Table:
-    cap = left_part.capacity
-    cols = list(left_part.columns)
-    names = list(left_part.names)
-    for n, c in zip(rt.names, rt.columns):
-        cols.append(
-            Column(
-                c.dtype,
-                jnp.zeros(cap, c.data.dtype),
-                jnp.zeros(cap, bool),
-                c.dictionary,
-            )
-        )
-        names.append(n)
-    return Table(names, cols, left_part.nrows)
-
-
-def _pad_left_nulls(lt: Table, right_part: Table) -> Table:
-    cap = right_part.capacity
-    cols = []
-    names = []
-    for n, c in zip(lt.names, lt.columns):
-        cols.append(
-            Column(
-                c.dtype,
-                jnp.zeros(cap, c.data.dtype),
-                jnp.zeros(cap, bool),
-                c.dictionary,
-            )
-        )
-        names.append(n)
-    cols += list(right_part.columns)
-    names += list(right_part.names)
-    return Table(names, cols, right_part.nrows)
-
-
-# ---------------------------------------------------------------------------
 
 
 class CrossJoinExec(ExecutionPlan):
