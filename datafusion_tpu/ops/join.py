@@ -6,18 +6,24 @@ build_join_indexes :649, build_batch_from_indices :564, visited bitmap for
 outer joins :407) and cross_join.rs:52.
 
 TPU-native design (SURVEY.md §7): no pointer-chasing hash table.  The build
-side is sorted by a 64-bit key hash (one XLA sort); probes binary-search the
-sorted hashes (vectorized `searchsorted`), candidate pairs are materialized
-by a cumsum/searchsorted run-expansion, and exact key equality (+ optional
-residual non-equi filter) prunes hash collisions — the vectorized analogue of
-`equal_rows` (hash_join.rs:813).  All six join types (Inner/Left/Right/Full/
-Semi/Anti, logical_plan/plan.rs:36-49) derive from the same candidate set:
-outer rows are appended from per-row match counts (probe side) and a
-scatter-or visited mask (build side).
+side is co-sorted by a 64-bit key hash (one variadic XLA sort); probe ranks
+come from a merge-rank co-sort of [probe ++ build] hashes plus build-side
+run lengths (kernels.join_probe_counts — `searchsorted` lowers 20x slower
+on TPU); candidate pairs are materialized by a cumsum/merge-rank
+run-expansion, and exact key equality (+ optional residual non-equi filter)
+prunes hash collisions — the vectorized analogue of `equal_rows`
+(hash_join.rs:813).  All six join types (Inner/Left/Right/Full/Semi/Anti,
+logical_plan/plan.rs:36-49) derive from the same candidate set in ONE
+jitted program per phase: probe-side outer rows come from prefix sums over
+the contiguous candidate runs, build-side ones from a scatter-or visited
+mask.
 
-Output capacity is data-dependent: the candidate total is pulled to the host
-once per join (one sync) to size the static output buffer — the
-capacity-estimation strategy from SURVEY.md §7 'hard parts' (a).
+Output capacity is data-dependent: under a speculation window
+(kernels.py) inner/semi/anti joins size to the probe capacity with a
+device-side overflow flag (zero host syncs; exact for FK joins); otherwise
+the candidate total is pulled once to size the buffer — the
+capacity-estimation + overflow/retry strategy of SURVEY.md §7 hard
+part (a).
 """
 
 from __future__ import annotations
