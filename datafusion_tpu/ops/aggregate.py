@@ -232,54 +232,6 @@ class HashAggregateExec(ExecutionPlan):
             out = out.with_capacity(tgt)
         return out
 
-    # ---- phase 1: raw rows -> per-group states / final values -----------
-    def _execute_raw(self, t: Table) -> Table:
-        cap = t.capacity
-        nrows = np.int64(t.nrows)
-
-        key_cols = [e.evaluate(t) for e, _ in self.group_expr]
-        if key_cols:
-            perm, gid, ngroups_dev, sorted_keys = _group_rows(key_cols, nrows)
-            ngroups = int(ngroups_dev)
-        else:
-            perm = jnp.arange(cap)
-            gid = jnp.where(jnp.arange(cap) < t.nrows, 0, cap - 1)
-            ngroups = 1
-            sorted_keys = []
-
-        alive_sorted = jnp.arange(cap) < t.nrows  # perm puts live rows first
-
-        names: list[str] = [n for _, n in self.group_expr]
-        out_cols: list[Column] = []
-
-        # group key output columns: first row of each segment
-        for kc, (skd, skv) in zip(key_cols, sorted_keys):
-            first_idx = _segment_first_index(gid, cap, alive_sorted)
-            data = skd[first_idx]
-            valid = skv[first_idx] & (jnp.arange(cap) < ngroups)
-            out_cols.append(Column(kc.dtype, data, valid, kc.dictionary))
-
-        # aggregates
-        for a in self.aggr_expr:
-            cols = _eval_aggregate(
-                a, t, perm, gid, cap, alive_sorted, ngroups,
-                emit_state=(self.mode == "partial"),
-            )
-            if self.mode == "partial":
-                for (sname, _), c in zip(a.state_fields(), cols):
-                    names.append(sname)
-                    out_cols.append(c)
-            else:
-                names.append(a.name)
-                out_cols.append(cols[0])
-
-        out = Table(names, out_cols, ngroups)
-        # shrink to a sensible capacity for downstream operators
-        tgt = round_capacity(ngroups)
-        if tgt < out.capacity:
-            out = out.with_capacity(tgt)
-        return out
-
     # ---- phase 2: merge state columns ------------------------------------
     def _execute_final(self, t: Table) -> Table:
         cap = t.capacity
