@@ -164,10 +164,47 @@ def bench(sf: float, queries: list[int], iterations: int = 3) -> dict:
     return timings
 
 
+def convert(src_dir: str, dst_dir: str, fmt: str):
+    """dbgen `.tbl` files -> csv or parquet (the reference tpch binary's
+    `convert` subcommand, tpch.rs `main`)."""
+    import os
+
+    from .tpch_datagen import generate_tpch
+
+    # column order per table (tiny generation defines the schema)
+    table_columns = {t: list(c) for t, c in generate_tpch(0.001).items()}
+    os.makedirs(dst_dir, exist_ok=True)
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.columnar.table import Table
+
+    ctx = ExecutionContext()
+    for tname, cols in table_columns.items():
+        path = os.path.join(src_dir, f"{tname}.tbl")
+        if not os.path.exists(path):
+            continue
+        import pandas as pd
+
+        df = pd.read_csv(path, sep="|", names=cols + ["_trail"], index_col=False)
+        df = df[cols]
+        t = Table.from_pandas(df)
+        ctx.register_table(tname, t)
+        out = os.path.join(dst_dir, f"{tname}.{ 'parquet' if fmt == 'parquet' else 'csv'}")
+        dfr = ctx.table(tname)
+        if fmt == "parquet":
+            ctx.write_parquet(dfr, out)
+        else:
+            ctx.write_csv(dfr, out)
+        print(f"{tname}: {t.nrows} rows -> {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--convert", action="store_true", help="dbgen .tbl -> csv/parquet")
+    ap.add_argument("--src", type=str, default=".", help="--convert: .tbl directory")
+    ap.add_argument("--dst", type=str, default="./converted", help="--convert: output dir")
+    ap.add_argument("--format", type=str, default="parquet", choices=["csv", "parquet"])
     ap.add_argument("--sf", type=float, default=0.01)
     ap.add_argument("--queries", type=str, default=",".join(map(str, range(1, 23))))
     ap.add_argument("--iterations", type=int, default=3)
@@ -177,6 +214,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.convert:
+        convert(args.src, args.dst, args.format)
+        return
     queries = [int(x) for x in args.queries.split(",")]
     if args.check:
         results = check(args.sf, queries)
