@@ -488,3 +488,122 @@ def dist_join(
         left.mesh,
         out_cap,
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed ORDER BY: sample -> range partition -> all_to_all -> local sort
+# ---------------------------------------------------------------------------
+
+_SORT_SAMPLES = 64  # per shard
+
+
+def dist_sort(st: ShardedTable, sort_exprs, bucket_cap: int | None = None):
+    """Globally sort a sharded table: after this, shard i's rows all order
+    before shard i+1's and each shard is locally sorted, so reading shards
+    in order yields the total order.
+
+    The reference coalesces to one partition for ORDER BY
+    (physical_optimizer/merge_exec.rs); this is the TeraSort-style
+    TPU-native improvement: each shard samples its first sort key,
+    all-gathered samples define ndev-1 range boundaries, rows route to
+    their range's shard with ONE all_to_all, and each shard sorts locally
+    by the full key list.  Rows equal to a boundary value all land on the
+    same shard (strict comparison), so ties never straddle shards.
+
+    Returns (ShardedTable, overflow) — overflow > 0 means a shard's range
+    exceeded bucket_cap (heavy skew); retry with a bigger bucket_cap.
+    """
+    from ..ops.sort import PhysSortExpr  # noqa: F401  (type reference)
+    from .shuffle import shuffle_by_dest
+
+    ndev = st.ndev
+    ncols = len(st.datas)
+    cap = st.shard_cap
+    B = bucket_cap or cap
+    s0 = sort_exprs[0]
+    S = _SORT_SAMPLES
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        t = _local_view(st, datas, valids)
+        nloc = nrows[0]
+        alive = local_alive(cap, nrows)
+
+        # first-key total order: (nullrank, transformed key)
+        c0 = s0.expr.evaluate(t)
+        k0 = K.orderable_key(c0.data, c0.dtype)
+        if not s0.ascending:
+            if jnp.issubdtype(k0.dtype, jnp.floating):
+                k0 = -k0
+            else:
+                k0 = jnp.bitwise_not(k0)
+        nr0 = jnp.where(c0.valid, 1, 0 if s0.nulls_first else 2).astype(jnp.int32)
+
+        # sample S live rows per shard (strided over the live prefix is not
+        # assumed — live rows may be anywhere, so sample sorted-by-aliveness
+        # positions via a cheap co-sort of (dead, nr0, k0))
+        (_, snr, sk), _ = K.cosort((~alive, nr0, k0), ())
+        nlive = jnp.sum(alive)
+        pos = (jnp.arange(S) * jnp.maximum(nlive, 1)) // S
+        pos = jnp.clip(pos, 0, cap - 1).astype(jnp.int32)
+        samp_nr = jnp.where(jnp.arange(S) < jnp.minimum(nlive, S), snr[pos], 3)
+        samp_k = K.gather64(sk, pos)
+
+        # gather all shards' samples; derive global quantile boundaries
+        all_nr = jax.lax.all_gather(samp_nr, AXIS).reshape(-1)
+        all_k = jax.lax.all_gather(samp_k, AXIS).reshape(-1)
+        (all_nr, all_k), _ = K.cosort((all_nr, all_k), ())
+        n_samp = jnp.sum(all_nr < 3)
+        bpos = ((jnp.arange(ndev - 1) + 1) * jnp.maximum(n_samp, 1)) // ndev
+        bpos = jnp.clip(bpos, 0, ndev * S - 1).astype(jnp.int32)
+        b_nr = all_nr[bpos]  # [ndev-1]
+        b_k = K.gather64(all_k, bpos)
+
+        # shard = number of boundaries strictly below the row's key
+        gt = (nr0[None, :] > b_nr[:, None]) | (
+            (nr0[None, :] == b_nr[:, None]) & (k0[None, :] > b_k[:, None])
+        )
+        dest = jnp.sum(gt, axis=0, dtype=jnp.int32)
+
+        out_d, out_v, new_n, overflow = shuffle_by_dest(
+            datas, valids, alive, dest, ndev, B
+        )
+
+        # local sort by the FULL key list, all columns as payloads
+        t2 = _local_view(st, out_d, out_v)
+        key_cols = [s.expr.evaluate(t2) for s in sort_exprs]
+        ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
+        kvalids = tuple(c.valid for c in key_cols)
+        moved, _ = K.lexsort_apply(
+            ordkeys,
+            kvalids,
+            tuple(out_d) + tuple(out_v),
+            new_n[0],
+            tuple(not s.ascending for s in sort_exprs),
+            tuple(s.nulls_first for s in sort_exprs),
+        )
+        sorted_d = list(moved[:ncols])
+        sorted_v = list(moved[ncols:])
+        return (new_n, overflow.reshape(1).astype(jnp.int64), *sorted_d, *sorted_v)
+
+    fn = _shard_map(
+        st.mesh,
+        body,
+        in_specs=_specs(1 + 2 * ncols),
+        out_specs=_specs(2 + 2 * ncols),
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    nrows, overflow, rest = out[0], out[1], out[2:]
+    new_cap = ndev * B
+    st2 = ShardedTable(
+        list(st.names),
+        list(st.dtypes),
+        list(st.dicts),
+        list(rest[:ncols]),
+        list(rest[ncols:]),
+        nrows,
+        st.mesh,
+        new_cap,
+    )
+    return st2, int(jnp.max(overflow))

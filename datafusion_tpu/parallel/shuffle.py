@@ -48,6 +48,21 @@ def shuffle_by_hash(
     cap = key_hash.shape[0]
     alive = local_alive(cap, nrows_local)
     dest = (key_hash % jnp.uint64(ndev)).astype(jnp.int32)
+    return shuffle_by_dest(datas, valids, alive, dest, ndev, bucket_cap)
+
+
+def shuffle_by_dest(
+    datas: list[jnp.ndarray],
+    valids: list[jnp.ndarray],
+    alive: jnp.ndarray,
+    dest: jnp.ndarray,
+    ndev: int,
+    bucket_cap: int,
+):
+    """Per-shard body: route row i to shard dest[i] (int32 in [0, ndev));
+    dead rows (alive False) are dropped.  Same return contract as
+    shuffle_by_hash."""
+    cap = dest.shape[0]
     dest = jnp.where(alive, dest, ndev)  # dead rows -> overflow bucket
 
     # per-dest counts and starts

@@ -38,7 +38,7 @@ def cluster(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "datafusion_tpu.distributed.rpc", "scheduler",
-             "--port", str(port), "--work-dir", work, "--partitions", "3"],
+             "--port", str(port), "--work-dir", work, "--partitions", "2"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
     ]
@@ -97,7 +97,7 @@ def test_multiprocess_cluster_query(cluster):
     )
     job = client.execute_query(serde.plan_to_dict(plan))
 
-    deadline = time.time() + 700  # subprocess jax import + XLA compiles (variadic-sort programs compile slowly on CPU)
+    deadline = time.time() + 1200  # subprocess jax import + XLA compiles; generous for oversubscribed CI machines
     status = None
     while time.time() < deadline:
         status = client.get_job_status(job)

@@ -141,3 +141,44 @@ def test_dist_join_matches_single_device():
 
     want = join_tables(lt, rt, on, "inner", None)
     assert sorted_rows(out) == sorted_rows(want)
+
+
+@needs_devices
+def test_dist_sort_total_order():
+    """Range-partitioned distributed ORDER BY: reading shards in order must
+    equal the single-device sort (the reference coalesces to 1 partition;
+    this is the TeraSort-style improvement)."""
+    from datafusion_tpu.ops.sort import PhysSortExpr, sort_table
+    from datafusion_tpu.parallel.ops import dist_sort
+
+    t = table(n=2000, seed=3)
+    mesh = make_mesh()
+    st = ShardedTable.from_table(t, mesh)
+    specs = [PhysSortExpr(col(t, "v"), ascending=False), PhysSortExpr(col(t, "k"))]
+    st2, overflow = dist_sort(st, specs, bucket_cap=st.shard_cap * 2)
+    assert overflow == 0
+    got = st2.to_table().to_pandas()
+    exp = sort_table(t, specs)
+    exp = exp.to_pandas().head(len(got))
+    assert got["v"].tolist() == exp["v"].tolist()
+    assert got["k"].tolist() == exp["k"].tolist()
+
+
+@needs_devices
+def test_dist_sort_with_nulls():
+    from datafusion_tpu.ops.sort import PhysSortExpr, sort_table
+    from datafusion_tpu.parallel.ops import dist_sort
+
+    rng = np.random.default_rng(9)
+    vals = [int(v) if v % 5 else None for v in rng.integers(0, 50, 700)]
+    t = Table.from_pydict({"v": vals})
+    mesh = make_mesh()
+    st = ShardedTable.from_table(t, mesh)
+    specs = [PhysSortExpr(col(t, "v"), ascending=True, nulls_first=False)]
+    st2, overflow = dist_sort(st, specs, bucket_cap=st.shard_cap * 4)
+    assert overflow == 0
+    import pandas as pd
+
+    got = st2.to_table().to_pandas()["v"]
+    exp = sort_table(t, specs).to_pandas()["v"]
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
