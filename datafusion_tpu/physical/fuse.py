@@ -14,7 +14,9 @@ reuse XLA executables.
 from __future__ import annotations
 
 from ..columnar.table import Table
+from ..ops.aggregate import HashAggregateExec
 from ..ops.base import ExecutionPlan
+from ..ops.sort import SortExec
 from .stage_compiler import CompiledStage, compilable
 
 _STAGE_CACHE: dict = {}
@@ -58,6 +60,64 @@ class StageExec(ExecutionPlan):
         return f"StageExec[fused x{len(self.stage.chain)}{r}]"
 
 
+class TailStageExec(ExecutionPlan):
+    """A fusable query TAIL (Limit?/Sort?/Proj*/Agg?/Filter*) above a
+    non-fusable input (typically a join): the input executes normally, then
+    the whole tail runs as ONE jitted program per input-table signature —
+    no per-operator dispatches or count syncs inside the tail."""
+
+    def __init__(self, chain_plan: ExecutionPlan, input_exec: ExecutionPlan, root: bool = False):
+        super().__init__()
+        self.inner = chain_plan
+        self.input_exec = input_exec
+        self.root = root
+        self.stage = CompiledStage(chain_plan, source_node=input_exec)
+
+    def schema(self):
+        return self.inner.schema()
+
+    def children(self):
+        return [self.input_exec]
+
+    def with_new_children(self, c):
+        return self
+
+    def _execute(self) -> Table:
+        t = self.input_exec.execute()
+        return self.stage.execute(shrink=not self.root, src=t)
+
+    def _display_line(self):
+        r = " root" if self.root else ""
+        return f"TailStageExec[fused x{len(self.stage.chain)}{r}]"
+
+
+def _fusable_chain(plan: ExecutionPlan):
+    """Longest fusable prefix (same grammar as `compilable`, any source).
+    Returns (chain_top_to_bottom, source_below) or (None, None)."""
+    from ..ops.aggregate import HashAggregateExec
+    from ..ops.basic import FilterExec, GlobalLimitExec, ProjectionExec
+    from ..ops.sort import SortExec
+
+    chain = []
+    node = plan
+    if isinstance(node, GlobalLimitExec):
+        chain.append(node)
+        node = node.input
+    if isinstance(node, SortExec):
+        chain.append(node)
+        node = node.input
+    while isinstance(node, ProjectionExec):
+        chain.append(node)
+        node = node.input
+    if isinstance(node, HashAggregateExec) and node.mode in ("single", "partial"):
+        chain.append(node)
+        node = node.input
+    while isinstance(node, (FilterExec, ProjectionExec)):
+        chain.append(node)
+        node = node.input
+    return (chain, node) if chain else (None, None)
+
+
 class FuseStages:
     name = "fuse_stages"
 
@@ -67,6 +127,18 @@ class FuseStages:
     def _opt(self, plan: ExecutionPlan, is_root: bool) -> ExecutionPlan:
         if compilable(plan) and _worth_fusing(plan):
             return StageExec(plan, root=is_root)
+        # tail fusion: a fusable prefix above a non-fusable input (join,
+        # union, ...) still becomes one program — worth it when the tail
+        # contains an aggregate or sort (they dominate the dispatch cost)
+        chain, below = _fusable_chain(plan)
+        if chain is not None and any(
+            isinstance(op, (HashAggregateExec, SortExec)) for op in chain
+        ):
+            inner = self._opt(below, False)
+            rebuilt = inner
+            for op in reversed(chain):
+                rebuilt = op.with_new_children([rebuilt])
+            return TailStageExec(rebuilt, inner, root=is_root)
         kids = plan.children()
         if not kids:
             return plan

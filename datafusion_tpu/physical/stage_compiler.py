@@ -78,26 +78,38 @@ def compilable(plan: ExecutionPlan) -> bool:
 
 
 class CompiledStage:
-    """One fused stage: fn(datas, valids, nrows) -> (datas, valids, nout)."""
+    """One fused stage: fn(datas, valids, nrows) -> (datas, valids, nout).
 
-    def __init__(self, plan: ExecutionPlan):
+    The stage source is either a MemoryExec leaf (scan-rooted stages) or an
+    arbitrary subtree boundary (`source_node`, for query TAILS fused above
+    joins — TailStageExec): for the latter the input table signature varies
+    per execution, so jit variants and output dictionaries are cached per
+    signature."""
+
+    def __init__(self, plan: ExecutionPlan, source_node: ExecutionPlan | None = None):
         self.plan = plan
         # linearize
         chain = []
         node = plan
-        while not isinstance(node, MemoryExec):
+        while node is not source_node and not isinstance(node, MemoryExec):
             chain.append(node)
             node = node.children()[0]
-        self.source: MemoryExec = node
+        self.source = node
+        self.dynamic = not isinstance(node, MemoryExec)
         self.chain = list(reversed(chain))
         self.out_schema = plan.schema()
         self._jit_variants: dict = {}
-        # learn output dictionaries from a dry evaluation
-        self.out_dicts = self._infer_dicts()
-        # integer group keys that can use the fused small-domain path when a
-        # cheap runtime min/max probe finds a small range: only safe when the
-        # aggregate sees source columns directly (no projection in between)
-        self._probe_specs = self._find_probe_specs()
+        self._dict_cache: dict = {}
+        if not self.dynamic:
+            # learn output dictionaries from a dry evaluation
+            self.out_dicts = self._infer_dicts(self.source.execute())
+            # integer group keys that can use the fused small-domain path
+            # when a cheap runtime min/max probe finds a small range: only
+            # safe when the aggregate sees source columns directly
+            self._probe_specs = self._find_probe_specs()
+        else:
+            self.out_dicts = None
+            self._probe_specs = None  # probing costs host syncs; tails skip it
         self._probe_cache: dict = {}
 
     def _find_probe_specs(self):
@@ -153,22 +165,36 @@ class CompiledStage:
         return ranges or None
 
     # ------------------------------------------------------------------
-    def execute(self, shrink: bool = True) -> Table:
-        src = self.source.execute()
+    def execute(self, shrink: bool = True, src: Table | None = None) -> Table:
+        if src is None:
+            src = self.source.execute()
         datas = tuple(c.data for c in src.columns)
         valids = tuple(c.valid for c in src.columns)
-        ranges = self._probe_int_ranges(src)
-        vkey = tuple(sorted(ranges.items())) if ranges else ()
+        ranges = self._probe_int_ranges(src) if not self.dynamic else None
+        sig = (
+            (src.capacity,
+             tuple(str(c.dtype) for c in src.columns),
+             tuple(id(c.dictionary) for c in src.columns))
+            if self.dynamic
+            else ()
+        )
+        vkey = (tuple(sorted(ranges.items())) if ranges else (),) + sig
         fn = self._jit_variants.get(vkey)
         if fn is None:
             from functools import partial
 
-            fn = jax.jit(partial(self._run, int_ranges=ranges))
+            fn = jax.jit(partial(self._run, base=src, int_ranges=ranges))
             self._jit_variants[vkey] = fn
+        out_dicts = self.out_dicts
+        if out_dicts is None:
+            out_dicts = self._dict_cache.get(sig)
+            if out_dicts is None:
+                out_dicts = self._infer_dicts(src)
+                self._dict_cache[sig] = out_dicts
         out_d, out_v, nout = fn(datas, valids, src.nrows_dev)
         cols = [
             Column(f.dtype, d, v, dic)
-            for f, d, v, dic in zip(self.out_schema.fields, out_d, out_v, self.out_dicts)
+            for f, d, v, dic in zip(self.out_schema.fields, out_d, out_v, out_dicts)
         ]
         t = Table(self.out_schema.names(), cols, nout)
         if shrink:
@@ -187,8 +213,7 @@ class CompiledStage:
         ]
         return Table(list(base.names), cols, 0)
 
-    def _infer_dicts(self):
-        src = self.source.execute()
+    def _infer_dicts(self, src: Table):
         t = self._stage_meta_table(src)
         return [c.dictionary for c in t.columns]
 
@@ -228,8 +253,10 @@ class CompiledStage:
         return t
 
     # ------------------------------------------------------------------
-    def _run(self, datas, valids, nrows, int_ranges=None):
-        src_table = self._table_view(datas, valids, self.source.execute())
+    def _run(self, datas, valids, nrows, base=None, int_ranges=None):
+        src_table = self._table_view(
+            datas, valids, base if base is not None else self.source.execute()
+        )
         t = src_table
         cur_d = list(datas)
         cur_v = list(valids)
