@@ -299,6 +299,22 @@ def _segment_scan(values, gid, combine):
 
 
 def segment_sum(values, gid, num_segments):
+    if jnp.issubdtype(values.dtype, jnp.integer):
+        # exact for ints: one global cumsum + two gathers beats the
+        # tuple-carrying associative scan ~2x (floats keep the
+        # scan-with-reset to avoid catastrophic cancellation)
+        first_pos, last_pos = _segment_positions(gid)
+        run = jnp.cumsum(values)
+        hi = gather64(run, last_pos)
+        lo = jnp.where(
+            first_pos > 0,
+            gather64(run, jnp.maximum(first_pos - 1, 0)),
+            jnp.zeros((), values.dtype),
+        )
+        out = hi - lo
+        if num_segments != values.shape[0]:  # pragma: no cover - pad/trim
+            out = out[:num_segments]
+        return out
     run = _segment_scan(values, gid, lambda a, b: a + b)
     _, last_pos = _segment_positions(gid)
     out = gather64(run, last_pos)

@@ -115,3 +115,21 @@ def test_gather64_roundtrip(rng):
         idx = rng.integers(0, cap, 777)
         got = np.asarray(K.gather64(jnp.asarray(data), jnp.asarray(idx)))
         assert np.array_equal(got, data[idx]), dtype
+
+
+def test_segment_sum_int_and_float(rng):
+    cap = 4096
+    n = 3700
+    gid_live = np.sort(rng.integers(0, 40, n))
+    gid = np.concatenate([gid_live, np.full(cap - n, cap - 1)])
+    ints = rng.integers(-(10**12), 10**12, cap)
+    floats = rng.random(cap)
+    si = np.asarray(K.segment_sum(jnp.asarray(ints), jnp.asarray(gid), cap))
+    sf = np.asarray(K.segment_sum(jnp.asarray(floats), jnp.asarray(gid), cap))
+    # contract: only segments [0, ngroups) are meaningful — the dead-row
+    # tail segment (gid == cap-1) is masked by callers
+    live_segs = [g for g in np.unique(gid) if g != cap - 1]
+    for s, seg in enumerate(live_segs):
+        sel = gid == seg
+        assert si[s] == ints[sel].sum()
+        assert np.isclose(sf[s], floats[sel].sum())
