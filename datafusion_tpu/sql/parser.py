@@ -647,7 +647,12 @@ class Parser:
             return e
         if t.kind == "op" and t.value == "@":
             self.next()
-            name = "@" + self._parse_ident()
+            prefix = "@"
+            # @@sysvar (ShowVariable system variables, variable/mod.rs:33)
+            if self.peek().kind == "op" and self.peek().value == "@":
+                self.next()
+                prefix = "@@"
+            name = prefix + self._parse_ident()
             return Column(name)
 
         if t.kind not in ("ident", "quoted_ident"):

@@ -99,3 +99,23 @@ def test_display_graphviz():
     dot = plan.display_graphviz()
     assert dot.startswith("digraph {") and dot.endswith("}")
     assert "Aggregate" in dot and "->" in dot
+
+
+def test_sysvar_double_at():
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.columnar import Table
+    from datafusion_tpu.types import ScalarValue
+
+    ctx = ExecutionContext()
+    ctx.register_table("t", Table.from_pydict({"a": [1]}))
+
+    def provider(name):
+        if name == "@@version":
+            return ScalarValue.utf8("v1.0")
+        if name == "@uservar":
+            return ScalarValue.int64(7)
+        return None
+
+    ctx.register_variable("vars", provider)
+    out = ctx.sql("SELECT @@version AS v, @uservar AS m FROM t").collect().to_pydict()
+    assert out == {"v": ["v1.0"], "m": [7]}
