@@ -17,6 +17,7 @@ from ..columnar.table import Table
 from ..ops.aggregate import HashAggregateExec
 from ..ops.base import ExecutionPlan
 from ..ops.sort import SortExec
+from ..ops.window import WindowAggExec
 from .stage_compiler import CompiledStage, compilable
 
 _STAGE_CACHE: dict = {}
@@ -97,6 +98,7 @@ def _fusable_chain(plan: ExecutionPlan):
     from ..ops.aggregate import HashAggregateExec
     from ..ops.basic import FilterExec, GlobalLimitExec, ProjectionExec
     from ..ops.sort import SortExec
+    from ..ops.window import WindowAggExec
 
     chain = []
     node = plan
@@ -110,6 +112,9 @@ def _fusable_chain(plan: ExecutionPlan):
         chain.append(node)
         node = node.input
     if isinstance(node, HashAggregateExec) and node.mode in ("single", "partial"):
+        chain.append(node)
+        node = node.input
+    elif isinstance(node, WindowAggExec):
         chain.append(node)
         node = node.input
     while isinstance(node, (FilterExec, ProjectionExec)):
@@ -132,7 +137,7 @@ class FuseStages:
         # contains an aggregate or sort (they dominate the dispatch cost)
         chain, below = _fusable_chain(plan)
         if chain is not None and any(
-            isinstance(op, (HashAggregateExec, SortExec)) for op in chain
+            isinstance(op, (HashAggregateExec, SortExec, WindowAggExec)) for op in chain
         ):
             inner = self._opt(below, False)
             rebuilt = inner

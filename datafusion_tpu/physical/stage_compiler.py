@@ -50,6 +50,7 @@ from ..ops.aggregate import (
 from ..ops.base import ExecutionPlan
 from ..ops.basic import FilterExec, GlobalLimitExec, MemoryExec, ProjectionExec
 from ..ops.sort import SortExec
+from ..ops.window import WindowAggExec
 from ..types.dtypes import FLOAT64, INT64
 
 # domain limit for the fused [domain, N] reduction path; beyond this the
@@ -71,6 +72,8 @@ def compilable(plan: ExecutionPlan) -> bool:
     while isinstance(node, ProjectionExec):
         node = node.input
     if isinstance(node, HashAggregateExec) and node.mode in ("single", "partial"):
+        node = node.input
+    elif isinstance(node, WindowAggExec):
         node = node.input
     while isinstance(node, (FilterExec, ProjectionExec)):
         node = node.input
@@ -228,6 +231,26 @@ class CompiledStage:
                 t = Table([n for _, n in op.exprs], cols, 0)
             elif isinstance(op, (FilterExec, SortExec, GlobalLimitExec)):
                 pass  # schema/dictionaries unchanged
+            elif isinstance(op, WindowAggExec):
+                names = list(t.names)
+                cols = list(t.columns)
+                for w in op.window_exprs:
+                    dic = None
+                    if w.args and w.fun in (
+                        "lag", "lead", "first_value", "last_value",
+                        "nth_value", "min", "max",
+                    ):
+                        dic = w.args[0].evaluate(t).dictionary
+                    names.append(w.name)
+                    cols.append(
+                        Column(
+                            w.dtype,
+                            jnp.zeros(1, w.dtype.storage_np_dtype()),
+                            jnp.zeros(1, bool),
+                            dic,
+                        )
+                    )
+                t = Table(names, cols, 0)
             elif isinstance(op, HashAggregateExec):
                 key_cols = [e.evaluate(t) for e, _ in op.group_expr]
                 names = [n for _, n in op.group_expr]
@@ -334,6 +357,19 @@ class CompiledStage:
                 if not compacted:
                     compact()
                 n = jnp.minimum(n, op.n)
+                alive = jnp.arange(cap) < n
+            elif isinstance(op, WindowAggExec):
+                if not compacted:
+                    compact()
+                view = self._table_view(cur_d, cur_v, t)
+                names2, cols2 = op._traced_window(view, n, cap)
+                cur_d = [c.data for c in cols2]
+                cur_v = [c.valid for c in cols2]
+                t = Table(
+                    list(names2),
+                    [Column(c.dtype, c.data, c.valid, c.dictionary) for c in cols2],
+                    0,
+                )
                 alive = jnp.arange(cap) < n
             else:  # pragma: no cover
                 raise InternalError(f"unfusable op {type(op).__name__}")
