@@ -259,6 +259,28 @@ class ExecutionContext:
             phys_inner = planner.create_physical_plan(cur)
             rows.append(("physical_plan", phys_inner.display()))
             return ExplainExec(plan.schema().to_schema(), rows)
+        if isinstance(plan, Explain):
+            # non-verbose EXPLAIN [ANALYZE]: display the FINAL physical plan
+            # (incl. stage fusion by the physical optimizer rules)
+            from ..ops.basic import ExplainExec
+
+            rows = [("logical_plan", plan.plan.display())]
+            phys_inner = self.create_physical_plan(plan.plan)
+            rows.append(("physical_plan", phys_inner.display()))
+            if plan.analyze:
+                import time as _time
+
+                from ..ops.base import collect_plan_metrics
+
+                t0 = _time.perf_counter()
+                out = phys_inner.execute()
+                elapsed = _time.perf_counter() - t0
+                metrics = collect_plan_metrics(phys_inner)
+                lines = [f"output_rows: {out.nrows}", f"elapsed_s: {elapsed:.6f}"]
+                for k in sorted(metrics):
+                    lines.append(f"{k}: {metrics[k]}")
+                rows.append(("metrics", "\n".join(lines)))
+            return ExplainExec(plan.schema().to_schema(), rows)
         phys = planner.create_physical_plan(plan)
         rules = self.config.physical_optimizer_rules
         if not rules:
