@@ -199,6 +199,9 @@ def _ingest_values(values, dtype: DataType | None) -> tuple[Column, int]:
         dt = dtype or (
             INT64 if all(isinstance(v, (int, np.integer)) for v, ok in zip(items, valid) if ok) else FLOAT64
         )
+        if dt.is_decimal:
+            scaled = np.round(nums * 10**dt.scale).astype(np.int64)
+            return Column.from_numpy(dt, np.where(valid, scaled, 0), valid), n
         return Column.from_numpy(dt, nums, valid), n
 
     if np.issubdtype(arr.dtype, np.datetime64):

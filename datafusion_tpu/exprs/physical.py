@@ -64,6 +64,12 @@ class PhysicalExpr:
     def children(self) -> list["PhysicalExpr"]:
         return []
 
+    def needs_host(self) -> bool:
+        """True when evaluation must read column DATA on the host (e.g.
+        distinct-combo string functions): such expressions cannot run
+        inside a jitted fused stage."""
+        return any(c.needs_host() for c in self.children())
+
 
 def _const_column(capacity: int, sv: ScalarValue, dictionary: StringDict | None = None) -> CVec:
     dt = sv.dtype
@@ -461,15 +467,48 @@ def _temporal_arith(l: CVec, r: CVec, op: str) -> Optional[CVec]:
 _FLIP_OP = {"=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
 
 
+_DEC_CMP_BOUND = 10**18  # |int64 decimal storage| bound for threshold search
+
+
+def _dec_ge_threshold(x: float, s: int) -> int:
+    """min integer d with double(d/s) >= x (python's d/s IS the correctly
+    rounded IEEE double, monotone non-decreasing in d)."""
+    lo, hi = -_DEC_CMP_BOUND, _DEC_CMP_BOUND
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if mid / s >= x:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+def _dec_le_threshold(x: float, s: int) -> int:
+    """max integer d with double(d/s) <= x."""
+    lo, hi = -_DEC_CMP_BOUND, _DEC_CMP_BOUND
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if mid / s <= x:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def _decimal_float_literal_compare(l: CVec, r: CVec, op: str) -> CVec | None:
-    """decimal column OP float literal as an EXACT scaled-int comparison.
+    """decimal column OP float literal with EXACT float-comparison
+    semantics: the result equals comparing double(d / 10^scale) against the
+    f64 literal for every row — what a float engine (the reference's
+    benchmark schema stores these columns as Float64; sqlite REAL likewise)
+    computes — evaluated as an integer threshold compare on the scaled
+    storage.  Thresholds come from a host-side binary search using python's
+    correctly-rounded int/int -> double division, so there is no epsilon
+    and no precision loss for any int64-ranged decimal.
 
-    The threshold is derived host-side with python's IEEE doubles:
-      data/s OP x  <=>  data OP' t  for integer t, s = 10**scale.
-    Returns None when the pattern does not apply (non-literal float, or
-    both decimals)."""
-    import math
-
+    This also makes `dec = 0.05` over DECIMAL(_,2) true for d=5 (double(
+    5/100) == double(0.05)), the round-1 trap, while keeping TPC-H Q6's
+    `between .06 - 0.01 and .06 + 0.01` excluding 0.07 exactly like every
+    float engine does.  Returns None when the pattern does not apply."""
     if l.dtype.is_decimal and r.dtype.is_float and getattr(r, "literal", None) is not None:
         dec, lit = l, r.literal.value
     elif r.dtype.is_decimal and l.dtype.is_float and getattr(l, "literal", None) is not None:
@@ -480,30 +519,27 @@ def _decimal_float_literal_compare(l: CVec, r: CVec, op: str) -> CVec | None:
     if lit is None:
         cap = dec.data.shape[0]
         return CVec(BOOL, jnp.zeros(cap, bool), jnp.zeros(cap, bool))
-    from fractions import Fraction
+    import math
 
-    # exact rational semantics: the decimal value IS d / 10^scale, the f64
-    # literal IS an exact binary rational — so  d/s OP x  <=>  d OP x*s
-    # with x*s computed exactly (Fraction), no epsilon anywhere
-    fx = Fraction(float(lit)) * (10 ** dec.dtype.scale)
+    x = float(lit)
     valid = dec.valid & (l.valid & r.valid)
     d = dec.data.astype(jnp.int64)
-    if op == "=":
-        if fx.denominator != 1:
-            return CVec(BOOL, jnp.zeros_like(d, bool), valid)
-        return CVec(BOOL, d == int(fx), valid)
-    if op == "!=":
-        if fx.denominator != 1:
-            return CVec(BOOL, jnp.ones_like(d, bool), valid)
-        return CVec(BOOL, d != int(fx), valid)
+    if math.isnan(x):
+        out = jnp.ones_like(d, bool) if op == "!=" else jnp.zeros_like(d, bool)
+        return CVec(BOOL, out, valid)
+    s = 10 ** dec.dtype.scale
+    if op in ("=", "!="):
+        ge, le = _dec_ge_threshold(x, s), _dec_le_threshold(x, s)
+        eq = (d >= ge) & (d <= le) if ge <= le else jnp.zeros_like(d, bool)
+        return CVec(BOOL, eq if op == "=" else ~eq, valid)
     if op == ">=":
-        return CVec(BOOL, d >= int(math.ceil(fx)), valid)
+        return CVec(BOOL, d >= _dec_ge_threshold(x, s), valid)
     if op == ">":
-        return CVec(BOOL, d > int(math.floor(fx)), valid)
+        return CVec(BOOL, d > _dec_le_threshold(x, s), valid)
     if op == "<=":
-        return CVec(BOOL, d <= int(math.floor(fx)), valid)
+        return CVec(BOOL, d <= _dec_le_threshold(x, s), valid)
     if op == "<":
-        return CVec(BOOL, d < int(math.ceil(fx)), valid)
+        return CVec(BOOL, d < _dec_ge_threshold(x, s), valid)
     return None
 
 
@@ -756,6 +792,19 @@ class PhysScalarFunction(PhysicalExpr):
 
         arg_cols = [a.evaluate(table) for a in self.args]
         return dispatch_scalar(self.name, arg_cols, self.dtype, table.capacity)
+
+    def needs_host(self) -> bool:
+        from ..functions.registry import _ROW_FNS
+
+        n = self.name.lower()
+        # these materialize column DATA host-side (distinct-combo / unique)
+        if n in ("to_hex", "chr", "concat", "concat_ws"):
+            return True
+        if n in _ROW_FNS and any(
+            not isinstance(a, PhysLit) for a in self.args[1:]
+        ):
+            return True
+        return any(a.needs_host() for a in self.args)
 
     def __repr__(self):
         return f"{self.name}({', '.join(map(repr, self.args))})"

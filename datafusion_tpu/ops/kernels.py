@@ -29,6 +29,7 @@ layer (ops/*.py) wraps them with Table/Column bookkeeping.
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 
 import jax
@@ -276,13 +277,19 @@ def _segment_positions(gid):
     Only entries [0, #segments) are meaningful; callers mask by ngroups."""
     cap = gid.shape[0]
     boundary = (gid != jnp.roll(gid, 1)).at[0].set(True)
-    _, (first_pos,) = cosort((~boundary,), (jnp.arange(cap, dtype=jnp.int32),))
+    # carry a `cap` sentinel for non-boundary rows so entries past the last
+    # real segment read as cap — the final segment's last_pos then derives
+    # as cap-1 even when there is no trailing dead-row segment (a full
+    # buffer previously truncated the last group's reduction)
+    pos_or_cap = jnp.where(boundary, jnp.arange(cap, dtype=jnp.int32), cap)
+    _, (first_pos,) = cosort((~boundary,), (pos_or_cap,))
     last_pos = jnp.concatenate(
         [first_pos[1:] - 1, jnp.array([cap - 1], first_pos.dtype)]
     )
-    # segments beyond the boundary count have first > last; clamp so the
-    # gathered garbage stays in range (masked by callers)
-    last_pos = jnp.maximum(last_pos, first_pos)
+    # keep garbage entries (beyond the segment count; masked by callers)
+    # in gather range
+    last_pos = jnp.clip(last_pos, 0, cap - 1)
+    first_pos = jnp.minimum(first_pos, cap - 1)
     return first_pos, last_pos
 
 
@@ -355,7 +362,12 @@ def segment_max(values, gid, num_segments):
 # ---------------------------------------------------------------------------
 
 
-class _Speculation:
+class _Speculation(threading.local):
+    """Per-THREAD speculation state: the distributed executor's threaded
+    RPC server runs concurrent tasks, and a process-global window would
+    interleave their overflow flags (ADVICE/VERDICT r1 weak #5).
+    threading.local re-runs __init__ on first access from each thread."""
+
     def __init__(self):
         import os
 

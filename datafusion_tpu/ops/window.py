@@ -385,6 +385,28 @@ class WindowAggExec(ExecutionPlan):
         i = jnp.arange(cap)
         cur = key[jnp.clip(i, 0, cap - 1)]
 
+        def off(x):
+            # offsets live on the SQL value axis; decimal ORDER BY keys are
+            # scaled ints, so RANGE 1 PRECEDING over DECIMAL(_,2) must span
+            # 100 storage units, not 1
+            if c.dtype.is_decimal:
+                from fractions import Fraction
+
+                v = Fraction(str(x)) * (10 ** c.dtype.scale)
+                if v.denominator != 1:
+                    raise PlanError(
+                        "RANGE offset finer than the ORDER BY decimal scale"
+                    )
+                return int(v)
+            if c.dtype.is_float:
+                return float(x)
+            fx = float(x)
+            if fx != int(fx):
+                raise PlanError(
+                    "RANGE offset must be an integer for integer ORDER BY keys"
+                )
+            return int(fx)
+
         def bisect_left(target):
             lo, hi = seg_lo, jnp.minimum(seg_hi + 1, cap)
             for _ in range(int(np.ceil(np.log2(max(cap, 2)))) + 1):
@@ -400,21 +422,21 @@ class WindowAggExec(ExecutionPlan):
             if frame.start.offset is None:
                 lo_idx = seg_lo
             else:
-                lo_idx = bisect_left(cur - int(frame.start.offset))
+                lo_idx = bisect_left(cur - off(frame.start.offset))
         elif frame.start.kind == "current":
             lo_idx = bisect_left(cur)
         else:  # following with offset
-            lo_idx = bisect_left(cur + int(frame.start.offset))
+            lo_idx = bisect_left(cur + off(frame.start.offset))
         # end bound: first index with key > bound, minus 1
         if frame.end.kind == "following":
             if frame.end.offset is None:
                 hi_idx = seg_hi
             else:
-                hi_idx = bisect_left(cur + int(frame.end.offset) + 1) - 1
+                hi_idx = _bisect_gt(bisect_left, cur, off(frame.end.offset), c) - 1
         elif frame.end.kind == "current":
-            hi_idx = bisect_left(cur + 1) - 1
+            hi_idx = _bisect_gt(bisect_left, cur, 0, c) - 1
         else:  # preceding with offset
-            hi_idx = bisect_left(cur - int(frame.end.offset) + 1) - 1
+            hi_idx = _bisect_gt(bisect_left, cur, -off(frame.end.offset), c) - 1
         lo_idx = jnp.maximum(lo_idx, seg_lo)
         hi_idx = jnp.minimum(hi_idx, seg_hi)
         # NULL order keys sort into one run; their frame is that peer group
@@ -449,6 +471,16 @@ class WindowAggExec(ExecutionPlan):
 
 
 # ---------------------------------------------------------------------------
+
+
+def _bisect_gt(bisect_left, cur, delta, c):
+    """First index with key strictly greater than cur+delta: integer-family
+    keys step by one storage unit; float keys step to the next
+    representable double (+1 would skip peers within (bound, bound+1])."""
+    target = cur + delta
+    if c.dtype.is_float:
+        return bisect_left(jnp.nextafter(target, jnp.inf))
+    return bisect_left(target + 1)
 
 
 def _segment_starts(gid, cap, alive):

@@ -100,24 +100,30 @@ def _fusable_chain(plan: ExecutionPlan):
     from ..ops.sort import SortExec
     from ..ops.window import WindowAggExec
 
+    from .stage_compiler import node_jit_safe
+
     chain = []
     node = plan
     if isinstance(node, GlobalLimitExec):
         chain.append(node)
         node = node.input
-    if isinstance(node, SortExec):
+    if isinstance(node, SortExec) and node_jit_safe(node):
         chain.append(node)
         node = node.input
-    while isinstance(node, ProjectionExec):
+    while isinstance(node, ProjectionExec) and node_jit_safe(node):
         chain.append(node)
         node = node.input
-    if isinstance(node, HashAggregateExec) and node.mode in ("single", "partial"):
+    if (
+        isinstance(node, HashAggregateExec)
+        and node.mode in ("single", "partial")
+        and node_jit_safe(node)
+    ):
         chain.append(node)
         node = node.input
-    elif isinstance(node, WindowAggExec):
+    elif isinstance(node, WindowAggExec) and node_jit_safe(node):
         chain.append(node)
         node = node.input
-    while isinstance(node, (FilterExec, ProjectionExec)):
+    while isinstance(node, (FilterExec, ProjectionExec)) and node_jit_safe(node):
         chain.append(node)
         node = node.input
     return (chain, node) if chain else (None, None)

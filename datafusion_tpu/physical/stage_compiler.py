@@ -58,6 +58,32 @@ from ..types.dtypes import FLOAT64, INT64
 FUSED_DOMAIN_LIMIT = 256
 
 
+def node_exprs(node: ExecutionPlan):
+    """The PhysicalExprs an operator evaluates (for jit-safety checks)."""
+    if isinstance(node, FilterExec):
+        return [node.predicate]
+    if isinstance(node, ProjectionExec):
+        return [e for e, _ in node.exprs]
+    if isinstance(node, HashAggregateExec):
+        return [e for e, _ in node.group_expr] + [
+            a.expr for a in node.aggr_expr if a.expr is not None
+        ]
+    if isinstance(node, SortExec):
+        return [s.expr for s in node.sort_exprs]
+    if isinstance(node, WindowAggExec):
+        out = []
+        for w in node.window_exprs:
+            out += list(w.args) + list(w.partition_by) + [s.expr for s in w.order_by]
+        return out
+    return []
+
+
+def node_jit_safe(node: ExecutionPlan) -> bool:
+    """False when any contained expression must read column data on the
+    host (needs_host) — such operators cannot join a jitted fused stage."""
+    return not any(e.needs_host() for e in node_exprs(node))
+
+
 def compilable(plan: ExecutionPlan) -> bool:
     """Is this subtree one fusable stage?
 
@@ -67,15 +93,19 @@ def compilable(plan: ExecutionPlan) -> bool:
     node = plan
     if isinstance(node, GlobalLimitExec):
         node = node.input
-    if isinstance(node, SortExec):
+    if isinstance(node, SortExec) and node_jit_safe(node):
         node = node.input
-    while isinstance(node, ProjectionExec):
+    while isinstance(node, ProjectionExec) and node_jit_safe(node):
         node = node.input
-    if isinstance(node, HashAggregateExec) and node.mode in ("single", "partial"):
+    if (
+        isinstance(node, HashAggregateExec)
+        and node.mode in ("single", "partial")
+        and node_jit_safe(node)
+    ):
         node = node.input
-    elif isinstance(node, WindowAggExec):
+    elif isinstance(node, WindowAggExec) and node_jit_safe(node):
         node = node.input
-    while isinstance(node, (FilterExec, ProjectionExec)):
+    while isinstance(node, (FilterExec, ProjectionExec)) and node_jit_safe(node):
         node = node.input
     return isinstance(node, MemoryExec)
 

@@ -872,7 +872,9 @@ class Parser:
             if self.eat_kw("current"):
                 self.expect_kw("row")
                 return WindowFrameBound("current")
-            n = int(self.next().value)
+            raw = self.next().value
+            # RANGE frames take fractional offsets (e.g. over decimal keys)
+            n = int(raw) if "." not in str(raw) else float(raw)
             if self.eat_kw("preceding"):
                 return WindowFrameBound("preceding", n)
             self.expect_kw("following")

