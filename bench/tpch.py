@@ -53,8 +53,9 @@ def load_engine_tables(ctx, data):
         ctx.register_table(tname, t)
 
 
-def run_query(ctx, q: int):
-    """Execute query q (handles q15's 3-statement form). Returns Table."""
+def run_query(ctx, q: int, mesh=None):
+    """Execute query q (handles q15's 3-statement form). Returns Table.
+    With ``mesh``, queries run SPMD over the device mesh."""
     from datafusion_tpu.sql.parser import parse_sql
 
     sql = get_query_sql(q)
@@ -66,7 +67,7 @@ def run_query(ctx, q: int):
         if "create view" in low or "drop view" in low:
             ctx.sql(s)
         else:
-            result = ctx.sql(s).collect()
+            result = ctx.sql(s).collect(mesh=mesh)
     return result
 
 
@@ -105,7 +106,7 @@ def golden_query(conn, q: int):
     return rows
 
 
-def check(sf: float, queries: list[int], verbose: bool = True) -> dict:
+def check(sf: float, queries: list[int], verbose: bool = True, mesh=None) -> dict:
     import jax
 
     from datafusion_tpu import ExecutionContext
@@ -121,7 +122,7 @@ def check(sf: float, queries: list[int], verbose: bool = True) -> dict:
     results = {}
     for q in queries:
         try:
-            t = run_query(ctx, q)
+            t = run_query(ctx, q, mesh=mesh)
             engine_rows = table_to_rows(t)
             golden_rows = golden_query(conn, q)
             err = compare_results(

@@ -340,8 +340,21 @@ class ExecutionContext:
             raise PlanError(f"unsupported file type {plan.file_type}")
 
     # ---- execution ------------------------------------------------------------
-    def collect(self, plan: LogicalPlan) -> Table:
+    def collect(self, plan: LogicalPlan, mesh=None) -> Table:
         display = [f.name for f in plan.schema().fields]  # pre-optimization names
+        if mesh is not None and not isinstance(plan, Explain):
+            # SPMD path: the raw (unfused) physical plan lowers onto the
+            # mesh — the TPU-native equivalent of Ballista distributing an
+            # arbitrary plan (scheduler/src/planner.rs:40-171)
+            from ..parallel.executor import SpmdExecutor
+
+            optimized = self.optimize(plan)
+            planner = self.config.query_planner or DefaultPhysicalPlanner()
+            phys = planner.create_physical_plan(optimized)
+            out = SpmdExecutor(mesh).execute_plan(phys)
+            if len(display) == len(out.names):
+                out = Table(display, out.columns, out.nrows_dev)
+            return out
         key = (plan.display(), self._catalog_version)
         phys = self._plan_cache.get(key)
         if phys is None:

@@ -105,8 +105,11 @@ class DataFrame:
         return self._ctx.optimize(self._plan)
 
     # ---- terminals -------------------------------------------------------------------
-    def collect(self) -> Table:
-        return self._ctx.collect(self._plan)
+    def collect(self, mesh=None) -> Table:
+        """Execute the plan.  With ``mesh`` (a jax.sharding.Mesh), the plan
+        runs SPMD over the mesh via the SpmdExecutor; otherwise single
+        device."""
+        return self._ctx.collect(self._plan, mesh=mesh)
 
     def to_pandas(self):
         return self.collect().to_pandas()

@@ -1,0 +1,166 @@
+"""SPMD plan executor: lowers ANY physical plan onto a jax.sharding.Mesh.
+
+This is the TPU-native analogue of Ballista's DistributedPlanner + executor
+fleet (/root/reference/ballista/rust/scheduler/src/planner.rs:40-171, which
+stage-splits arbitrary operator trees, and executor/src/execution_loop.rs:39,
+which runs any plan): every relational operator the single-device engine
+plans can execute over the mesh.
+
+Strategy per node:
+
+- scans / leaves             load once on host, round-robin shard (the
+                             reference's RoundRobinBatch repartition)
+- Filter / Projection        shard-local (dist_filter / dist_project)
+- HashAggregate (single)     dist_aggregate: partial -> all_to_all re-key
+                             by group hash -> final (planner.rs:526-601)
+- HashJoin (all SIX types)   dist_join: all_to_all both sides by key hash,
+                             local six-type join (hash_join.rs:139-144
+                             PartitionMode::Partitioned)
+- Sort [+ fetch]             dist_sort: sample-based range partition +
+                             all_to_all + local sort (TeraSort-style; the
+                             reference coalesces to 1 partition instead)
+- Union                      shard-wise concatenation
+- everything else            gather -> single-device operator -> re-shard
+                             (the reference's CoalescePartitionsExec
+                             equivalent for single-partition-required ops)
+
+Ordering contract: after dist_sort, shard i's rows all order before shard
+i+1's and each shard is locally sorted, so gather-in-shard-order preserves
+the total order (ShardedTable.to_table does exactly that).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..columnar.table import Table, round_capacity
+from ..errors import ExecutionError
+from ..ops.aggregate import HashAggregateExec
+from ..ops.base import ExecutionPlan
+from ..ops.basic import (
+    FilterExec,
+    GlobalLimitExec,
+    MemoryExec,
+    ProjectionExec,
+    SkipExec,
+    UnionExec,
+    concat_tables,
+)
+from ..ops.join import HashJoinExec
+from ..ops.sort import SortExec
+from .mesh import ShardedTable, make_mesh
+from .ops import dist_aggregate, dist_filter, dist_join, dist_project, dist_sort
+
+
+class SpmdExecutor:
+    """Executes a physical plan over a device mesh.
+
+    ``execute_plan`` returns a gathered single-device Table (the
+    collect() contract); ``execute_sharded`` returns the ShardedTable for
+    callers composing further mesh work.
+    """
+
+    def __init__(self, mesh=None, n_devices: int | None = None):
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+
+    # ------------------------------------------------------------------
+    def execute_plan(self, plan: ExecutionPlan) -> Table:
+        out = self._exec(plan)
+        return out.to_table() if isinstance(out, ShardedTable) else out
+
+    def execute_sharded(self, plan: ExecutionPlan) -> ShardedTable:
+        out = self._exec(plan)
+        if isinstance(out, ShardedTable):
+            return out
+        return ShardedTable.from_table(out, self.mesh)
+
+    # ------------------------------------------------------------------
+    def _exec(self, plan: ExecutionPlan) -> ShardedTable:
+        if isinstance(plan, FilterExec):
+            st = self._exec(plan.input)
+            try:
+                return dist_filter(st, plan.predicate)
+            except Exception:
+                return self._fallback(plan, [st])
+        if isinstance(plan, ProjectionExec):
+            st = self._exec(plan.input)
+            try:
+                return dist_project(st, plan.exprs)
+            except Exception:
+                return self._fallback(plan, [st])
+        if isinstance(plan, HashAggregateExec) and plan.mode == "single":
+            st = self._exec(plan.input)
+            try:
+                return dist_aggregate(st, plan.group_expr, plan.aggr_expr)
+            except Exception:
+                return self._fallback(plan, [st])
+        if isinstance(plan, HashJoinExec):
+            sl = self._exec(plan.left)
+            sr = self._exec(plan.right)
+            try:
+                return dist_join(sl, sr, plan.on, plan.join_type, plan.filter)
+            except ExecutionError:
+                raise
+            except Exception:
+                return self._fallback(plan, [sl, sr])
+        if isinstance(plan, SortExec):
+            st = self._exec(plan.input)
+            out = self._dist_sort_retry(st, plan.sort_exprs)
+            if out is None:
+                return self._fallback(plan, [st])
+            if plan.fetch is not None:
+                # TopK: rows are globally ordered across shards; gather and
+                # truncate (live rows sit at the front, so shrinking nrows
+                # is the whole fetch)
+                t = out.to_table()
+                return ShardedTable.from_table(
+                    Table(t.names, t.columns, min(plan.fetch, t.nrows)), self.mesh
+                )
+            return out
+        if isinstance(plan, UnionExec):
+            parts = [self._exec(c) for c in plan.children()]
+            gathered = [
+                p.to_table() if isinstance(p, ShardedTable) else p for p in parts
+            ]
+            return ShardedTable.from_table(
+                concat_tables(gathered, plan.schema()), self.mesh
+            )
+        if isinstance(plan, (GlobalLimitExec, SkipExec)):
+            st = self._exec(plan.children()[0])
+            return self._fallback(plan, [st])
+        if not plan.children():
+            # leaf: scan executes on host/single device, then shards
+            return ShardedTable.from_table(plan.execute(), self.mesh)
+        return self._fallback(plan, [self._exec(c) for c in plan.children()])
+
+    # ------------------------------------------------------------------
+    def _dist_sort_retry(self, st: ShardedTable, sort_exprs):
+        """Range partitioning can exceed the per-shard bucket under skew;
+        right-size one retry from the reported overflow."""
+        try:
+            out, ovf = dist_sort(st, sort_exprs)
+        except Exception:
+            return None
+        if ovf > 0:
+            out, ovf = dist_sort(
+                st, sort_exprs, bucket_cap=round_capacity(st.shard_cap + ovf)
+            )
+            if ovf > 0:
+                return None
+        return out
+
+    def _fallback(self, plan: ExecutionPlan, child_results) -> ShardedTable:
+        """Gather children to single-device Tables and run the operator's
+        single-device implementation (required-single-distribution ops and
+        not-yet-distributed operators)."""
+        tables = [
+            c.to_table() if isinstance(c, ShardedTable) else c
+            for c in child_results
+        ]
+        children = plan.children()
+        subs = [
+            MemoryExec(t, c.schema()) for t, c in zip(tables, children)
+        ]
+        node = plan.with_new_children(subs) if children else plan
+        out = node.execute()
+        return ShardedTable.from_table(out, self.mesh)

@@ -334,36 +334,53 @@ def _agg_dict(a: PhysAggExpr, st: ShardedTable):
 # ---------------------------------------------------------------------------
 
 
+SKEW_NB = 1024  # hash-histogram buckets for hot-key detection
+
+
 def dist_join(
     left: ShardedTable,
     right: ShardedTable,
     on: list[tuple[PhysicalExpr, PhysicalExpr]],
     join_type: str = "inner",
+    filter: PhysicalExpr | None = None,
     fanout: int = 4,
     bucket_cap: int | None = None,
+    out_cap: int | None = None,
+    skew: bool = False,
 ) -> ShardedTable:
-    """Partitioned hash join: all_to_all both sides by key hash, then a local
-    sorted-hash join per shard.  Join output capacity per shard is
-    fanout * probe_cap (static); overflow raises for a host-level retry."""
+    """Partitioned hash join, ALL SIX join types (reference
+    hash_join.rs:139-144 PartitionMode::Partitioned over Inner/Left/Right/
+    Full/Semi/Anti): all_to_all both sides by key hash, then a local
+    six-type sorted-hash join per shard.  Hash partitioning puts every key
+    on exactly ONE shard, so per-shard unmatched-row detection (outer
+    joins' visited mask) is complete without any cross-shard reduction.
+
+    `filter` is an optional residual predicate over the combined
+    left++right schema (same contract as single-device HashJoinExec).
+
+    Pair capacity per shard is fanout * probe_cap (static); on overflow the
+    returned per-shard candidate totals right-size ONE retry (no 4x/16x/64x
+    recompile escalation).
+
+    ``skew=True`` compiles the SKEW-AWARE variant (SURVEY §7 hard part (f)):
+    an in-program psum histogram over SKEW_NB hash buckets marks buckets
+    whose global probe count exceeds total/(2*ndev) as HOT; hot probe rows
+    STAY LOCAL (perfect balance, zero transfer) while their build rows are
+    replicated to every shard via all_gather — the broadcast-skew-join
+    hybrid.  Non-hot keys take the normal all_to_all partition.  Everything
+    stays inside the one SPMD program: no host syncs, no retries."""
     ndev = left.ndev
     nl, nr = len(left.datas), len(right.datas)
     Bl = bucket_cap or left.shard_cap
     Br = bucket_cap or right.shard_cap
-    lcap2 = ndev * Bl
-    rcap2 = ndev * Br
-    out_cap = fanout * max(lcap2, 1)
-
-    # harmonize string key dictionaries at trace time
-    lsample = _local_view(
-        left,
-        [jnp.zeros(1, d.dtype) for d in left.datas],
-        [jnp.zeros(1, bool) for _ in left.valids],
-    )
-    rsample = _local_view(
-        right,
-        [jnp.zeros(1, d.dtype) for d in right.datas],
-        [jnp.zeros(1, bool) for _ in right.valids],
-    )
+    if skew:
+        # [local-hot | nonhot-recv] probe region; [gathered-hot | nonhot-recv] build
+        lcap2 = left.shard_cap + ndev * Bl
+        rcap2 = ndev * right.shard_cap + ndev * Br
+    else:
+        lcap2 = ndev * Bl
+        rcap2 = ndev * Br
+    pair_cap = out_cap if out_cap is not None else fanout * max(lcap2, 1)
 
     def body(lnrows, rnrows, *arrays):
         ld = list(arrays[:nl])
@@ -396,12 +413,81 @@ def dist_join(
         # shuffle rows AND their key columns together
         lpack_d = ld + [c.data for c in lkeys]
         lpack_v = lv + [c.valid for c in lkeys]
-        sl_d, sl_v, lnew, _ = shuffle_by_hash(lpack_d, lpack_v, lnrows, lhash, ndev, Bl)
         rpack_d = rd + [c.data for c in rkeys]
         rpack_v = rv + [c.valid for c in rkeys]
-        sr_d, sr_v, rnew, _ = shuffle_by_hash(rpack_d, rpack_v, rnrows, rhash, ndev, Br)
+        if not skew:
+            sl_d, sl_v, lnew, _ = shuffle_by_hash(lpack_d, lpack_v, lnrows, lhash, ndev, Bl)
+            sr_d, sr_v, rnew, _ = shuffle_by_hash(rpack_d, rpack_v, rnrows, rhash, ndev, Br)
+            hot_build_n = None
+        else:
+            from .shuffle import shuffle_by_dest
 
-        nkeys = len(on)
+            lc0, rc0 = left.shard_cap, right.shard_cap
+            l_alive0 = jnp.arange(lc0) < lnrows[0]
+            r_alive0 = jnp.arange(rc0) < rnrows[0]
+            # psum histogram over SKEW_NB hash buckets of the PROBE side
+            lb = (lhash % jnp.uint64(SKEW_NB)).astype(jnp.int32)
+            rb = (rhash % jnp.uint64(SKEW_NB)).astype(jnp.int32)
+            hist = (
+                jnp.zeros(SKEW_NB, jnp.int32)
+                .at[jnp.where(l_alive0, lb, SKEW_NB)]
+                .add(1, mode="drop")
+            )
+            hist = jax.lax.psum(hist, AXIS)
+            total_l = jax.lax.psum(lnrows[0], AXIS)
+            thresh = jnp.maximum(total_l // (2 * ndev), 64).astype(jnp.int32)
+            hot = hist > thresh  # [SKEW_NB]
+            lhot = hot[lb] & l_alive0
+            rhot = hot[rb] & r_alive0
+
+            # probe: hot rows stay local; nonhot all_to_all by hash
+            ldest = (lhash % jnp.uint64(ndev)).astype(jnp.int32)
+            sl0_d, sl0_v, lnew0, _ = shuffle_by_dest(
+                lpack_d, lpack_v, l_alive0 & ~lhot, ldest, ndev, Bl
+            )
+            lh_d, lh_v, nhot_l = K.filter_compact(
+                tuple(lpack_d), tuple(lpack_v), lhot, jnp.int64(lc0)
+            )
+            comb_d = [jnp.concatenate([h, s]) for h, s in zip(lh_d, sl0_d)]
+            comb_v = [jnp.concatenate([h, s]) for h, s in zip(lh_v, sl0_v)]
+            comb_alive = jnp.concatenate(
+                [jnp.arange(lc0) < nhot_l, jnp.arange(ndev * Bl) < lnew0[0]]
+            )
+            sl_dt, sl_vt, lcnt = K.filter_compact(
+                tuple(comb_d), tuple(comb_v), comb_alive, jnp.int64(lcap2)
+            )
+            sl_d, sl_v = list(sl_dt), list(sl_vt)
+            lnew = lcnt.reshape(1).astype(jnp.int64)
+
+            # build: hot rows replicate to every shard (all_gather); nonhot
+            # all_to_all.  The gathered-hot region goes FIRST, so the stable
+            # compaction lands all hot build rows at [0, H) in IDENTICAL
+            # order on every shard — the alignment the outer-join visited
+            # reduction below relies on.
+            rdest = (rhash % jnp.uint64(ndev)).astype(jnp.int32)
+            sr0_d, sr0_v, rnew0, _ = shuffle_by_dest(
+                rpack_d, rpack_v, r_alive0 & ~rhot, rdest, ndev, Br
+            )
+            rh_d, rh_v, nhot_r = K.filter_compact(
+                tuple(rpack_d), tuple(rpack_v), rhot, jnp.int64(rc0)
+            )
+            g_d = [jax.lax.all_gather(x, AXIS).reshape(-1) for x in rh_d]
+            g_v = [jax.lax.all_gather(x, AXIS).reshape(-1) for x in rh_v]
+            g_counts = jax.lax.all_gather(nhot_r, AXIS).reshape(-1)  # [ndev]
+            gpos = jnp.arange(ndev * rc0)
+            g_alive = (gpos % rc0) < g_counts[gpos // rc0]
+            combr_d = [jnp.concatenate([g, s]) for g, s in zip(g_d, sr0_d)]
+            combr_v = [jnp.concatenate([g, s]) for g, s in zip(g_v, sr0_v)]
+            combr_alive = jnp.concatenate(
+                [g_alive, jnp.arange(ndev * Br) < rnew0[0]]
+            )
+            sr_dt, sr_vt, rcnt = K.filter_compact(
+                tuple(combr_d), tuple(combr_v), combr_alive, jnp.int64(rcap2)
+            )
+            sr_d, sr_v = list(sr_dt), list(sr_vt)
+            rnew = rcnt.reshape(1).astype(jnp.int64)
+            hot_build_n = jnp.sum(g_counts)  # H: same value on every shard
+
         lkd = sl_d[nl:]
         lkv = sl_v[nl:]
         rkd = sr_d[nr:]
@@ -426,67 +512,158 @@ def dist_join(
             probe_ok = probe_ok & v
         lo, counts = K.join_probe_counts(sorted_hash, lh2, probe_ok, rnew[0])
         total = jnp.sum(counts)
-        probe_idx, build_idx, pair_alive, _ = K.join_expand(lo, counts, border, out_cap)
+        probe_idx, build_idx, pair_alive, _ = K.join_expand(lo, counts, border, pair_cap)
         ok = pair_alive
         for pk, pv, bk, bv in zip(lord, lkv, rord, rkv):
             ok = ok & pv[probe_idx] & bv[build_idx] & (pk[probe_idx] == bk[build_idx])
+        if filter is not None:
+            pi32 = probe_idx.astype(jnp.int32)
+            bi32 = build_idx.astype(jnp.int32)
+            pair_cols = [
+                Column(dt, K.gather64(d, pi32), v[pi32], dic)
+                for dt, dic, d, v in zip(left.dtypes, left.dicts, sl_d[:nl], sl_v[:nl])
+            ] + [
+                Column(dt, K.gather64(d, bi32), v[bi32], dic)
+                for dt, dic, d, v in zip(right.dtypes, right.dicts, sr_d[:nr], sr_v[:nr])
+            ]
+            pair_t = Table(list(left.names) + list(right.names), pair_cols, 0)
+            fres = filter.evaluate(pair_t)
+            ok = ok & fres.data.astype(bool) & fres.valid
 
-        # compact verified pairs: co-sort the index pairs keyed on ~ok,
-        # then 64-bit pair gathers (a scatter here costs ~100x more on TPU;
-        # see bench/MICRO.md and kernels.py co-sorting note)
-        n_out = jnp.sum(ok)
+        overflow = jnp.maximum(total - pair_cap, 0).reshape(1).astype(jnp.int64)
+        tot1 = total.reshape(1).astype(jnp.int64)
+
+        from ..ops.join import _any_match_per_probe
+
+        if join_type in ("semi", "anti"):
+            matched = _any_match_per_probe(counts, ok, pair_cap)
+            keep = (matched if join_type == "semi" else ~matched) & l_alive
+            out_d, out_v, cnt = K.filter_compact(
+                tuple(sl_d[:nl]), tuple(sl_v[:nl]), keep, lnew[0]
+            )
+            return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, *out_d, *out_v)
+
+        # matched pairs, compacted by one co-sort of the index pairs
+        cnt = jnp.sum(ok)
         _, (pc, bc) = K.cosort((~ok,), (probe_idx, build_idx))
-        live = jnp.arange(out_cap) < n_out
-        pc = pc.astype(jnp.int32)
-        bc = bc.astype(jnp.int32)
-        outs_d, outs_v = [], []
-        for d, v in zip(sl_d[:nl], sl_v[:nl]):
-            outs_d.append(K.gather64(d, pc))
-            outs_v.append(v[pc] & live)
-        for d, v in zip(sr_d[:nr], sr_v[:nr]):
-            outs_d.append(K.gather64(d, bc))
-            outs_v.append(v[bc] & live)
-        overflow = jnp.maximum(total - out_cap, 0)
-        return (
-            n_out.reshape(1).astype(jnp.int64),
-            overflow.reshape(1).astype(jnp.int64),
-            *outs_d,
-            *outs_v,
-        )
+        pair_live = jnp.arange(pair_cap) < cnt
+        pc32 = pc.astype(jnp.int32)
+        bc32 = bc.astype(jnp.int32)
 
-    if join_type != "inner":
-        raise ExecutionError(
-            f"distributed {join_type} join not implemented yet; "
-            "use the single-device path"
-        )
+        if join_type == "inner":
+            outs_d = [K.gather64(d, pc32) for d in sl_d[:nl]] + [
+                K.gather64(d, bc32) for d in sr_d[:nr]
+            ]
+            outs_v = [v[pc32] & pair_live for v in sl_v[:nl]] + [
+                v[bc32] & pair_live for v in sr_v[:nr]
+            ]
+            return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, *outs_d, *outs_v)
 
-    ncols_out = nl + nr
+        # left / right / full outer: matched pairs ++ unmatched side rows
+        # padded with nulls, squeezed by ONE compaction co-sort — the same
+        # derivation as single-device phase_b (ops/join.py), valid per
+        # shard because hash partitioning co-locates all matches of a key
+        col_d = [[K.gather64(d, pc32)] for d in sl_d[:nl]] + [
+            [K.gather64(d, bc32)] for d in sr_d[:nr]
+        ]
+        col_v = [[v[pc32] & pair_live] for v in sl_v[:nl]] + [
+            [v[bc32] & pair_live] for v in sr_v[:nr]
+        ]
+        alive_segs = [pair_live]
+        if join_type in ("left", "full"):
+            match_probe = _any_match_per_probe(counts, ok, pair_cap)
+            lw = l_alive & ~match_probe
+            for i, d in enumerate(sl_d[:nl]):
+                col_d[i].append(d)
+                col_v[i].append(sl_v[i] & lw)
+            for j, d in enumerate(sr_d[:nr]):
+                col_d[nl + j].append(jnp.zeros(lcap2, d.dtype))
+                col_v[nl + j].append(jnp.zeros(lcap2, bool))
+            alive_segs.append(lw)
+        if join_type in ("right", "full"):
+            visited = (
+                jnp.zeros(rcap2, bool)
+                .at[build_idx.astype(jnp.int32)]
+                .max(ok, mode="drop")
+            )
+            r_alive = jnp.arange(rcap2) < rnew[0]
+            if hot_build_n is not None:
+                # replicated hot build rows sit at [0, H) in identical order
+                # on every shard: a row is visited if ANY shard matched it,
+                # and only shard 0 may emit it unmatched (exactly-once)
+                in_hot = jnp.arange(rcap2) < hot_build_n
+                vis_glob = jax.lax.pmax(visited.astype(jnp.int32), AXIS) > 0
+                visited = jnp.where(in_hot, vis_glob, visited)
+                me = jax.lax.axis_index(AXIS)
+                r_alive = r_alive & (~in_hot | (me == 0))
+            rw = r_alive & ~visited
+            for i, d in enumerate(sl_d[:nl]):
+                col_d[i].append(jnp.zeros(rcap2, d.dtype))
+                col_v[i].append(jnp.zeros(rcap2, bool))
+            for j, d in enumerate(sr_d[:nr]):
+                col_d[nl + j].append(d)
+                col_v[nl + j].append(sr_v[j] & rw)
+            alive_segs.append(rw)
+        alive_all = jnp.concatenate(alive_segs)
+        datas_all = tuple(jnp.concatenate(s) for s in col_d)
+        valids_all = tuple(jnp.concatenate(s) for s in col_v)
+        out_d, out_v, cnt2 = K.filter_compact(
+            datas_all, valids_all, alive_all, jnp.int64(alive_all.shape[0])
+        )
+        return (cnt2.reshape(1).astype(jnp.int64), overflow, tot1, *out_d, *out_v)
+
+    if join_type in ("semi", "anti"):
+        ncols_out = nl
+        final_cap = lcap2
+    elif join_type == "inner":
+        ncols_out = nl + nr
+        final_cap = pair_cap
+    else:
+        ncols_out = nl + nr
+        final_cap = pair_cap
+        if join_type in ("left", "full"):
+            final_cap += lcap2
+        if join_type in ("right", "full"):
+            final_cap += rcap2
+
     fn = _shard_map(
         left.mesh,
         body,
         in_specs=_specs(2 + 2 * nl + 2 * nr),
-        out_specs=_specs(2 + 2 * ncols_out),
+        out_specs=_specs(3 + 2 * ncols_out),
     )
     out = jax.jit(fn)(
         left.nrows, right.nrows, *left.datas, *left.valids, *right.datas, *right.valids
     )
     overflow = int(jnp.max(out[1]))
     if overflow > 0:
-        if fanout >= 64:
-            raise ExecutionError("distributed join output overflow")
-        return dist_join(left, right, on, join_type, fanout * 4, bucket_cap)
-    names = list(left.names) + list(right.names)
-    dtypes = list(left.dtypes) + list(right.dtypes)
-    dicts = list(left.dicts) + list(right.dicts)
+        if out_cap is not None:
+            raise ExecutionError("distributed join output overflow after resize")
+        # right-size ONE retry from the exact per-shard candidate totals
+        need = int(jnp.max(out[2]))
+        from ..columnar.table import round_capacity
+
+        return dist_join(
+            left, right, on, join_type, filter, fanout, bucket_cap,
+            out_cap=round_capacity(max(need, 1)), skew=skew,
+        )
+    if join_type in ("semi", "anti"):
+        names = list(left.names)
+        dtypes = list(left.dtypes)
+        dicts = list(left.dicts)
+    else:
+        names = list(left.names) + list(right.names)
+        dtypes = list(left.dtypes) + list(right.dtypes)
+        dicts = list(left.dicts) + list(right.dicts)
     return ShardedTable(
         names,
         dtypes,
         dicts,
-        list(out[2 : 2 + ncols_out]),
-        list(out[2 + ncols_out :]),
+        list(out[3 : 3 + ncols_out]),
+        list(out[3 + ncols_out :]),
         out[0],
         left.mesh,
-        out_cap,
+        final_cap,
     )
 
 

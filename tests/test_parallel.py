@@ -182,3 +182,96 @@ def test_dist_sort_with_nulls():
     got = st2.to_table().to_pandas()["v"]
     exp = sort_table(t, specs).to_pandas()["v"]
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+@needs_devices
+@pytest.mark.parametrize("jt", ["inner", "left", "right", "full", "semi", "anti"])
+def test_dist_join_all_types_match_single_device(jt):
+    """All six join types partitioned on the mesh (reference
+    hash_join.rs:139-144): hash partitioning co-locates every key, so the
+    per-shard six-type join composes to the global join."""
+    rng = np.random.default_rng(7)
+    n = 300
+    lt = Table.from_pydict(
+        {
+            "k": [f"key{int(i)}" if i % 7 else None for i in rng.integers(0, 25, n)],
+            "v": rng.integers(0, 100, n).tolist(),
+        }
+    )
+    rt = Table.from_pydict(
+        {
+            "k2": [f"key{i}" for i in range(0, 40, 2)] + [None],
+            "w": [i * 10 for i in range(21)],
+        }
+    )
+    mesh = make_mesh(8)
+    sl = ShardedTable.from_table(lt, mesh)
+    sr = ShardedTable.from_table(rt, mesh)
+    on = [(col(lt, "k"), col(rt, "k2"))]
+    out = dist_join(sl, sr, on, jt).to_table()
+
+    from datafusion_tpu.ops.join import join_tables
+
+    want = join_tables(lt, rt, on, jt, None)
+    assert sorted_rows(out) == sorted_rows(want)
+
+
+@needs_devices
+def test_dist_join_residual_filter():
+    lt = table(200, seed=5)
+    rt = Table.from_pydict(
+        {"k2": [f"key{i}" for i in range(20)], "w": [i * 100 for i in range(20)]}
+    )
+    mesh = make_mesh(8)
+    sl = ShardedTable.from_table(lt, mesh)
+    sr = ShardedTable.from_table(rt, mesh)
+    on = [(col(lt, "k"), col(rt, "k2"))]
+    # residual: v < w  (combined schema is [k, v, k2, w])
+    resid = PhysBinary(
+        PhysCol("v", 1, lt.columns[1].dtype), "<", PhysCol("w", 3, rt.columns[1].dtype), BOOL
+    )
+    out = dist_join(sl, sr, on, "inner", filter=resid).to_table()
+
+    from datafusion_tpu.ops.join import join_tables
+
+    want = join_tables(lt, rt, on, "inner", resid)
+    assert sorted_rows(out) == sorted_rows(want)
+
+
+@needs_devices
+@pytest.mark.parametrize("jt", ["inner", "left", "right", "full", "semi", "anti"])
+def test_dist_join_skew_aware(jt):
+    """90%-hot-key join with skew=True: the in-program histogram marks the
+    hot bucket, hot probe rows stay local while their build rows replicate
+    via all_gather (SURVEY §7 hard part (f)) — results match the
+    single-device join, per-shard loads stay balanced, zero retries."""
+    rng = np.random.default_rng(3)
+    n = 2000
+    keys = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 50, n))
+    lt = Table.from_pydict(
+        {
+            "k": [f"key{int(k)}" for k in keys],
+            "v": rng.integers(0, 100, n).tolist(),
+        }
+    )
+    rt = Table.from_pydict(
+        {
+            "k2": [f"key{i}" for i in range(60)],
+            "w": [i * 10 for i in range(60)],
+        }
+    )
+    mesh = make_mesh(8)
+    sl = ShardedTable.from_table(lt, mesh)
+    sr = ShardedTable.from_table(rt, mesh)
+    on = [(col(lt, "k"), col(rt, "k2"))]
+    out_sh = dist_join(sl, sr, on, jt, skew=True)
+    out = out_sh.to_table()
+
+    from datafusion_tpu.ops.join import join_tables
+
+    want = join_tables(lt, rt, on, jt, None)
+    assert sorted_rows(out) == sorted_rows(want)
+    if jt == "inner":
+        # hot probe rows never moved: output stays balanced across shards
+        counts = np.asarray(out_sh.nrows).astype(float)
+        assert counts.max() <= 2.0 * counts.sum() / len(counts)
