@@ -79,7 +79,7 @@ class SpmdExecutor:
         if isinstance(plan, FilterExec):
             st = self._exec(plan.input)
             try:
-                return dist_filter(st, plan.predicate)
+                return dist_filter(st, plan.predicate).shrink()
             except Exception:
                 return self._fallback(plan, [st])
         if isinstance(plan, ProjectionExec):
@@ -91,14 +91,18 @@ class SpmdExecutor:
         if isinstance(plan, HashAggregateExec) and plan.mode == "single":
             st = self._exec(plan.input)
             try:
-                return dist_aggregate(st, plan.group_expr, plan.aggr_expr)
+                return dist_aggregate(st, plan.group_expr, plan.aggr_expr).shrink()
             except Exception:
                 return self._fallback(plan, [st])
         if isinstance(plan, HashJoinExec):
             sl = self._exec(plan.left)
             sr = self._exec(plan.right)
             try:
-                return dist_join(sl, sr, plan.on, plan.join_type, plan.filter)
+                # shrink: join output capacity (fanout * probe cap) and
+                # shuffle receive buffers otherwise COMPOUND up the plan
+                return dist_join(
+                    sl, sr, plan.on, plan.join_type, plan.filter
+                ).shrink()
             except ExecutionError:
                 raise
             except Exception:
@@ -106,6 +110,8 @@ class SpmdExecutor:
         if isinstance(plan, SortExec):
             st = self._exec(plan.input)
             out = self._dist_sort_retry(st, plan.sort_exprs)
+            if out is not None:
+                out = out.shrink()
             if out is None:
                 return self._fallback(plan, [st])
             if plan.fetch is not None:

@@ -93,6 +93,47 @@ class ShardedTable:
             shard_cap,
         )
 
+    def shrink(self, margin: int = 0) -> "ShardedTable":
+        """Right-size shard capacity to the actual live-row maximum.
+
+        Distributed operators size outputs statically (join pair_cap =
+        fanout * probe cap, shuffle recv = ndev * bucket); without
+        shrinking, capacities COMPOUND across a plan (each join inflates
+        ~fanout*ndev x) and later operators compute over padding.  One tiny
+        D2H sync reads the per-shard counts; one jitted per-shard slice
+        repacks.  Live rows are already front-compacted per shard, so the
+        slice is the whole operation."""
+        counts = np.asarray(self.nrows)  # one host sync
+        need = int(counts.max()) + margin if counts.size else 1
+        newcap = round_capacity(max(need, 1))
+        if newcap >= self.shard_cap:
+            return self
+        from jax.sharding import PartitionSpec as P
+
+        def body(*arrays):
+            return tuple(a[:newcap] for a in arrays)
+
+        n = len(self.datas)
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=tuple(P(AXIS) for _ in range(2 * n)),
+                out_specs=tuple(P(AXIS) for _ in range(2 * n)),
+            )
+        )
+        out = fn(*self.datas, *self.valids)
+        return ShardedTable(
+            list(self.names),
+            list(self.dtypes),
+            list(self.dicts),
+            list(out[:n]),
+            list(out[n:]),
+            self.nrows,
+            self.mesh,
+            newcap,
+        )
+
     def to_table(self) -> Table:
         """Gather all shards into one compacted single-device Table."""
         ndev = self.ndev
