@@ -36,6 +36,7 @@ class DistributedContext:
         num_executors: int = 2,
         target_partitions: int = 4,
         work_dir: str | None = None,
+        mesh_devices: int | None = None,
     ):
         if not standalone:
             raise PlanError(
@@ -50,7 +51,10 @@ class DistributedContext:
             target_partitions=target_partitions,
         )
         self.executors = [
-            Executor(f"executor-{i}", self.scheduler, self.store)
+            Executor(
+                f"executor-{i}", self.scheduler, self.store,
+                mesh_devices=mesh_devices,
+            )
             for i in range(num_executors)
         ]
         for e in self.executors:

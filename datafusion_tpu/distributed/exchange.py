@@ -207,10 +207,21 @@ class ShuffleWriterExec(ExecutionPlan):
     def _execute(self) -> Table:
         raise InternalError("ShuffleWriterExec runs via execute_shuffle_write()")
 
-    def execute_shuffle_write(self) -> list[dict]:
+    def execute_shuffle_write(self, mesh=None) -> list[dict]:
         """Run the stage; returns per-output-partition stats + locations
-        (execute_shuffle_write, shuffle_writer.rs:130)."""
-        t = self.plan.execute()
+        (execute_shuffle_write, shuffle_writer.rs:130).
+
+        With ``mesh``, the stage subtree executes SPMD over the executor's
+        local device slice (SpmdExecutor) instead of single-device — the
+        ICI-inside-a-slice / spill-files-across-slices hybrid of SURVEY
+        §2.8 (each Ballista executor runs its plan on its own resources;
+        here the resource is a whole mesh slice)."""
+        if mesh is not None:
+            from ..parallel.executor import SpmdExecutor
+
+            t = SpmdExecutor(mesh).execute_plan(self.plan)
+        else:
+            t = self.plan.execute()
         m = self.num_output_partitions
         stats = []
         if self.partition_exprs is None:

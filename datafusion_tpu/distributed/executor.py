@@ -31,13 +31,27 @@ class Executor:
         scheduler,
         store: TableStore,
         poll_interval_s: float = 0.01,
+        mesh_devices: int | None = None,
     ):
         self.executor_id = executor_id
         self.scheduler = scheduler
         self.store = store
         self.poll_interval_s = poll_interval_s
+        self.mesh_devices = mesh_devices
+        self._mesh = None
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+
+    @property
+    def mesh(self):
+        """The executor's local device slice as a jax Mesh (lazy — device
+        enumeration can be slow through a remote-TPU tunnel).  None keeps
+        the single-device engine."""
+        if self.mesh_devices and self._mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(self.mesh_devices)
+        return self._mesh
 
     # ---- lifecycle ---------------------------------------------------------
     def start(self):
@@ -54,7 +68,17 @@ class Executor:
     def poll_loop(self):
         while not self._stop.is_set():
             try:
-                task = self.scheduler.poll_work(self.executor_id, True)
+                # running=[] (the loop is synchronous — nothing is in flight
+                # at poll time) lets the scheduler requeue any task it still
+                # believes we own: delivery or completion report was lost
+                task = self.scheduler.poll_work(self.executor_id, True, running=[])
+            except TypeError:
+                # older scheduler without the `running` lease parameter
+                try:
+                    task = self.scheduler.poll_work(self.executor_id, True)
+                except Exception:
+                    time.sleep(self.poll_interval_s)
+                    continue
             except Exception:
                 time.sleep(self.poll_interval_s)
                 continue
@@ -74,10 +98,10 @@ class Executor:
             from ..ops import kernels as K
 
             with K.spec_window() as w:
-                stats = plan.execute_shuffle_write()
+                stats = plan.execute_shuffle_write(mesh=self.mesh)
             if w.overflowed():  # fan-out beyond speculative sizing: redo exactly
                 with K.spec_exact():
-                    stats = plan.execute_shuffle_write()
+                    stats = plan.execute_shuffle_write(mesh=self.mesh)
             self.scheduler.task_completed(
                 self.executor_id, job_id, stage_id, part, stats
             )

@@ -82,8 +82,8 @@ class SchedulerService:
     def rpc_execute_query(self, plan):
         return self.scheduler.execute_query(plan)
 
-    def rpc_poll_work(self, executor_id, can_accept_task=True):
-        return self.scheduler.poll_work(executor_id, can_accept_task)
+    def rpc_poll_work(self, executor_id, can_accept_task=True, running=None):
+        return self.scheduler.poll_work(executor_id, can_accept_task, running=running)
 
     def rpc_task_completed(self, executor_id, job_id, stage_id, partition, stats):
         self.scheduler.task_completed(executor_id, job_id, stage_id, partition, stats)
@@ -158,9 +158,12 @@ class RpcSchedulerClient:
     def execute_query(self, plan_dict):
         return self.call("execute_query", plan=plan_dict)
 
-    def poll_work(self, executor_id, can_accept_task=True):
+    def poll_work(self, executor_id, can_accept_task=True, running=None):
         return self.call(
-            "poll_work", executor_id=executor_id, can_accept_task=can_accept_task
+            "poll_work",
+            executor_id=executor_id,
+            can_accept_task=can_accept_task,
+            running=running,
         )
 
     def task_completed(self, executor_id, job_id, stage_id, partition, stats):
@@ -201,16 +204,23 @@ class _RemoteStateShim:
         self.client.poll_work(executor_id, can_accept_task=False)
 
 
-def run_executor(scheduler_addr: str, work_dir: str, executor_id: str):
+def run_executor(
+    scheduler_addr: str,
+    work_dir: str,
+    executor_id: str,
+    mesh_devices: int | None = None,
+):
     """Blocking executor process against a remote scheduler (the reference's
-    executor main, ballista/rust/executor)."""
+    executor main, ballista/rust/executor).  With ``mesh_devices`` the
+    executor runs every stage SPMD over a local mesh of that many devices
+    (its slice of the pod) instead of a single chip."""
     from .executor import Executor
 
     client = RpcSchedulerClient(scheduler_addr)
     client.work_dir = work_dir
     client.state = _RemoteStateShim(client)
     store = TableStore(spill_dir=f"{work_dir}/_tables")
-    ex = Executor(executor_id, client, store)
+    ex = Executor(executor_id, client, store, mesh_devices=mesh_devices)
     ex.start()
     return ex
 
@@ -244,6 +254,13 @@ def main(argv=None):
     e.add_argument("--scheduler", required=True)
     e.add_argument("--work-dir", required=True)
     e.add_argument("--id", default=None)
+    e.add_argument(
+        "--mesh-devices",
+        type=int,
+        default=None,
+        help="run stages SPMD over a local mesh of N devices (the "
+        "executor's pod slice); default: single-device engine",
+    )
     args = ap.parse_args(argv)
 
     if args.role == "scheduler":
@@ -255,7 +272,9 @@ def main(argv=None):
         import time
 
         ex_id = args.id or f"executor-{os.getpid()}"
-        ex = run_executor(args.scheduler, args.work_dir, ex_id)
+        ex = run_executor(
+            args.scheduler, args.work_dir, ex_id, mesh_devices=args.mesh_devices
+        )
         print(f"{ex_id} polling {args.scheduler}", flush=True)
         try:
             while True:

@@ -103,10 +103,20 @@ class Scheduler:
         return job_id
 
     # ---- PollWork ----------------------------------------------------------
-    def poll_work(self, executor_id: str, can_accept_task: bool = True) -> dict | None:
+    def poll_work(
+        self,
+        executor_id: str,
+        can_accept_task: bool = True,
+        running: list[str] | None = None,
+    ) -> dict | None:
         """Heartbeat + task pull (lib.rs:170). Returns a TaskDefinition dict
-        {"job_id","stage_id","partition","plan"} or None."""
+        {"job_id","stage_id","partition","plan"} or None.  `running` is the
+        executor's in-flight task list (the reference's PollWork carries
+        task_statuses the same way) — any RUNNING task this executor owns
+        but does not report is requeued (lost delivery / lost completion)."""
         self.state.heartbeat(executor_id)
+        if running is not None:
+            self.state.requeue_disowned_tasks(executor_id, running)
         if not can_accept_task:
             return None
         with self._lock:
@@ -117,38 +127,49 @@ class Scheduler:
                 stage = a["stage"]
                 # resolve shuffle placeholders for this partition NOW: dep
                 # stages are complete, their file locations deterministic
-                writer = serde.pplan_from_dict(stage["plan"], None, self.work_dir)
-                assert isinstance(writer, ShuffleWriterExec)
-                stage_info = {
-                    d: {
-                        "num_input_partitions": self.state.stage(job_id, d)[
-                            "num_input_partitions"
-                        ],
-                        "num_output_partitions": self.state.stage(job_id, d)[
-                            "num_output_partitions"
-                        ],
-                    }
-                    for d in stage["dependencies"]
-                }
-                inner = remove_unresolved_shuffles(
-                    writer.plan, a["partition"], stage_info, self.work_dir, job_id
-                )
-                task_writer = ShuffleWriterExec(
-                    job_id,
-                    a["stage_id"],
-                    inner,
-                    writer.partition_exprs,
-                    writer.num_output_partitions,
-                    self.work_dir,
-                    a["partition"],
-                )
-                return {
-                    "job_id": job_id,
-                    "stage_id": a["stage_id"],
-                    "partition": a["partition"],
-                    "plan": serde.pplan_to_dict(task_writer),
-                }
+                try:
+                    return self._resolve_task(job_id, a, stage)
+                except Exception:
+                    # roll the assignment back so the task is not stranded
+                    # RUNNING on a live executor that never received it
+                    self.state.unassign_task(
+                        job_id, a["stage_id"], a["partition"]
+                    )
+                    raise
         return None
+
+    def _resolve_task(self, job_id: str, a: dict, stage: dict) -> dict:
+        writer = serde.pplan_from_dict(stage["plan"], None, self.work_dir)
+        assert isinstance(writer, ShuffleWriterExec)
+        stage_info = {
+            d: {
+                "num_input_partitions": self.state.stage(job_id, d)[
+                    "num_input_partitions"
+                ],
+                "num_output_partitions": self.state.stage(job_id, d)[
+                    "num_output_partitions"
+                ],
+            }
+            for d in stage["dependencies"]
+        }
+        inner = remove_unresolved_shuffles(
+            writer.plan, a["partition"], stage_info, self.work_dir, job_id
+        )
+        task_writer = ShuffleWriterExec(
+            job_id,
+            a["stage_id"],
+            inner,
+            writer.partition_exprs,
+            writer.num_output_partitions,
+            self.work_dir,
+            a["partition"],
+        )
+        return {
+            "job_id": job_id,
+            "stage_id": a["stage_id"],
+            "partition": a["partition"],
+            "plan": serde.pplan_to_dict(task_writer),
+        }
 
     # ---- task status -------------------------------------------------------
     def task_completed(self, executor_id, job_id, stage_id, partition, stats):

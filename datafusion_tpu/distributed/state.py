@@ -271,3 +271,47 @@ class SchedulerState:
                             t["status"] = "PENDING"
                             t["executor"] = None
                             self._put(tkey, t)
+
+    def requeue_disowned_tasks(
+        self, executor_id: str, running: list[str], grace_s: float = 2.0
+    ):
+        """Re-PENDING RUNNING tasks assigned to a LIVE executor that it does
+        not report as in flight.  Closes the delivery-loss window: poll_work
+        marks a task RUNNING *before* the plan is resolved and the RPC
+        response reaches the executor; a serde error or dropped socket then
+        strands the task RUNNING forever while the executor keeps
+        heartbeating (so dead-executor requeue never fires).  The executor's
+        poll loop is synchronous — any poll that omits a task it owns means
+        that task was never delivered or its completion report was lost;
+        either way re-running is safe (shuffle writes are atomic +
+        deterministic).  `running` entries are "job/stage/part" strings."""
+        mine = set(running)
+        now = time.time()
+        with self.kv.lock():
+            for job_id in self.running_jobs():
+                job = self.job(job_id)
+                for sid in job["stage_ids"]:
+                    stage = self.stage(job_id, sid)
+                    for part in range(stage["num_input_partitions"]):
+                        tkey = f"tasks/{job_id}/{sid}/{part}"
+                        t = self._get(tkey)
+                        if (
+                            t["status"] == "RUNNING"
+                            and t.get("executor") == executor_id
+                            and f"{job_id}/{sid}/{part}" not in mine
+                            and now - t.get("started_at", now) > grace_s
+                        ):
+                            t["status"] = "PENDING"
+                            t["executor"] = None
+                            self._put(tkey, t)
+
+    def unassign_task(self, job_id: str, stage_id: int, part: int):
+        """Roll an assignment back to PENDING (poll_work plan-resolution
+        failed after assign_next_task already marked it RUNNING)."""
+        with self.kv.lock():
+            tkey = f"tasks/{job_id}/{stage_id}/{part}"
+            t = self._get(tkey)
+            if t is not None and t["status"] == "RUNNING":
+                t["status"] = "PENDING"
+                t["executor"] = None
+                self._put(tkey, t)

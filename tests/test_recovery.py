@@ -95,3 +95,56 @@ def test_ndjson_datasource(tmp_path):
         "SELECT s, count(*) AS c FROM t GROUP BY s ORDER BY s"
     ).collect()
     assert out.to_pydict() == {"s": ["v0", "v1", "v2"], "c": [4, 3, 3]}
+
+
+def test_lost_delivery_requeues_on_next_poll(tmp_path):
+    """poll_work marks a task RUNNING before the response reaches the
+    executor; if delivery (or the completion report) is lost, the next poll
+    from that executor — whose loop is synchronous, so running=[] —
+    requeues the stranded task instead of leaving the job hung forever
+    (the dead-executor requeue never fires while heartbeats continue)."""
+    work = str(tmp_path / "w")
+    t = small_table()
+    st = SchedulerState(FileKV(f"{work}/_state"), work_dir=work)
+    sched = Scheduler(st, work_dir=work, target_partitions=2)
+    store = TableStore()
+    store.put("t", t)
+    sched.register_table_schema("t", t.schema())
+    ctx = ExecutionContext()
+    ctx.register_table("t", t)
+    plan = ctx.optimize(
+        ctx.create_logical_plan("SELECT k, sum(v) AS s FROM t GROUP BY k")
+    )
+    job = sched.execute_query(serde.plan_to_dict(plan))
+    st.register_executor("e1")
+
+    # assignment happens ... and the response is "lost" (never executed)
+    lost = sched.poll_work("e1")
+    assert lost is not None
+    tkey = st.task(job, lost["stage_id"], lost["partition"])
+    assert tkey["status"] == "RUNNING"
+
+    # within the grace period the executor's empty report does NOT requeue
+    assert all(
+        st.task(job, lost["stage_id"], p)["status"] != "PENDING"
+        or p != lost["partition"]
+        for p in [lost["partition"]]
+    )
+    st.requeue_disowned_tasks("e1", [], grace_s=10.0)
+    assert st.task(job, lost["stage_id"], lost["partition"])["status"] == "RUNNING"
+
+    # past the grace period the poll requeues it, and the job completes
+    st.requeue_disowned_tasks("e1", [], grace_s=0.0)
+    assert st.task(job, lost["stage_id"], lost["partition"])["status"] == "PENDING"
+
+    ex = Executor("e1", sched, store)
+    while True:
+        task = sched.poll_work("e1", running=[])
+        if task is None:
+            break
+        ex.run_task(task)
+    status = sched.get_job_status(job)
+    assert status["status"] == "COMPLETED"
+    out = shuffle_io.concat_read(status["final_paths"], status["final_schema"])
+    got = dict(zip(*[out.to_pydict()[n] for n in out.names[:2]]))
+    assert got == {"a": 90, "b": 45, "c": 55}
