@@ -18,12 +18,37 @@ from ..types.dtypes import DataType
 from .dictionary import StringDict
 
 
+def list_null_sentinel(elem: DataType):
+    """In-band null sentinel for fixed-size-list ELEMENTS: NaN for floats,
+    INT_MIN for integer-backed types, code -1 for dictionary strings."""
+    st = elem.storage_np_dtype()
+    if np.issubdtype(st, np.floating):
+        return st.type(np.nan)
+    if elem.is_string:
+        return np.int32(-1)
+    if st == np.bool_:
+        return np.bool_(False)  # bool lists: nulls collapse to false
+    return st.type(np.iinfo(st).min)
+
+
+def list_element_valid(elem: DataType, data: np.ndarray) -> np.ndarray:
+    """Element-validity mask recovered from the in-band sentinels."""
+    st = elem.storage_np_dtype()
+    if np.issubdtype(st, np.floating):
+        return ~np.isnan(data)
+    if elem.is_string:
+        return data >= 0
+    if st == np.bool_:
+        return np.ones(data.shape, bool)
+    return data != np.iinfo(st).min
+
+
 @dataclass
 class Column:
     """One column: device data + device validity + logical type (+ dict)."""
 
     dtype: DataType
-    data: jnp.ndarray  # shape (capacity,), storage dtype
+    data: jnp.ndarray  # shape (capacity,), storage dtype; lists: (capacity, k)
     valid: jnp.ndarray  # shape (capacity,), bool
     dictionary: StringDict | None = None  # strings only
     # host-known constant value when the column came from a literal; lets
@@ -63,6 +88,28 @@ class Column:
     def to_pylist(self, nrows: int) -> list:
         """Decode to Python values (strings decoded, decimals rescaled)."""
         data, valid = self.to_numpy(nrows)
+        if self.dtype.is_list:
+            # element nulls are IN-BAND sentinels (NaN / INT_MIN / code -1:
+            # they survive fused stages, gathers, and shuffles, unlike a
+            # side validity plane), decoded here per element position
+            # (reference array() -> FixedSizeList, array_expressions.rs:63)
+            k = self.dtype.list_size
+            ev = list_element_valid(self.dtype.elem, data)
+            elems = [
+                Column(
+                    self.dtype.elem,
+                    jnp.asarray(data[:, j]),
+                    jnp.asarray(ev[:, j]),
+                    self.dictionary,
+                ).to_pylist(nrows)
+                for j in range(k)
+            ]
+            if not k:
+                return [[] if ok else None for ok in valid]
+            return [
+                list(vals) if ok else None
+                for vals, ok in zip(zip(*elems), valid)
+            ]
         if self.dtype.is_string:
             assert self.dictionary is not None
             vals = self.dictionary.decode(data)

@@ -113,6 +113,7 @@ _SCALAR_NAMES = (
         "regexp_replace",
         "to_hex",
         "chr",
+        "array",
         "nullif",
         "coalesce",
         "to_timestamp",
@@ -136,6 +137,26 @@ _SCALAR_NAMES = (
 
 def is_scalar_function(name: str) -> bool:
     return name.lower() in _SCALAR_NAMES
+
+
+def _array_elem_type(arg_types: list[DataType]) -> DataType:
+    """Common element type for array(...): all-string stays string, numerics
+    promote pairwise (functions.rs:368 FixedSizeList return-type rule)."""
+    if not arg_types:
+        raise PlanError("array() requires at least one argument")
+    if all(t.is_string for t in arg_types):
+        return STRING
+    from ..types.dtypes import numeric_common_type
+
+    elem = arg_types[0]
+    for t in arg_types[1:]:
+        if t == elem:
+            continue
+        nt = numeric_common_type(elem, t)
+        if nt is None:
+            raise PlanError(f"array(): incompatible element types {elem} / {t}")
+        elem = nt
+    return elem
 
 
 def scalar_return_type(name: str, arg_types: list[DataType]) -> DataType:
@@ -174,6 +195,12 @@ def scalar_return_type(name: str, arg_types: list[DataType]) -> DataType:
         return INT32
     if n in ("regexp_match",):
         return STRING
+    if n == "array":
+        return DataType(
+            "fixed_size_list",
+            elem=_array_elem_type(arg_types),
+            list_size=len(arg_types),
+        )
     if n in ("nullif", "coalesce"):
         for t in arg_types:
             if t != NULLTYPE:
@@ -298,6 +325,50 @@ def dispatch_scalar(
     if n == "random":
         # evaluated host-side per call (non-deterministic like the reference)
         return CVec(FLOAT64, jnp.asarray(np.random.rand(capacity)), jnp.ones(capacity, bool))
+
+    # ---- array constructor (array_expressions.rs:63 array_array) -------------
+    if n == "array":
+        cols = list(args)
+        elem = out_dtype.elem
+        if elem.is_string:
+            # merge every argument's dictionary once, then remap each onto
+            # the final dictionary (pairwise folds would leave earlier
+            # columns on stale dictionaries)
+            d = cols[0].dictionary
+            for c in cols[1:]:
+                d, _, _ = StringDict.merge(d, c.dictionary)
+            remapped = []
+            for c in cols:
+                d2, _, rc = StringDict.merge(d, c.dictionary)
+                lut = jnp.asarray(rc) if len(rc) else jnp.zeros(1, jnp.int32)
+                remapped.append(
+                    CVec(
+                        c.dtype,
+                        lut[jnp.clip(c.data, 0, max(len(rc) - 1, 0))],
+                        c.valid,
+                        d2,
+                    )
+                )
+            cols = remapped
+            dic = cols[0].dictionary
+        else:
+            from ..exprs.physical import cast_column
+
+            cols = [
+                cast_column(c, elem, capacity) if c.dtype != elem else c
+                for c in cols
+            ]
+            dic = None
+        # the list itself is always present for live rows; ELEMENT nulls
+        # (Arrow FixedSizeList child-null semantics) go in-band as
+        # sentinels so they survive fused stages / gathers / shuffles
+        from ..columnar.column import list_null_sentinel
+
+        sent = list_null_sentinel(elem)
+        data = jnp.stack(
+            [jnp.where(c.valid, c.data, sent) for c in cols], axis=1
+        )
+        return CVec(out_dtype, data, jnp.ones(capacity, bool), dic)
 
     # ---- generic -----------------------------------------------------------
     if n == "nullif":

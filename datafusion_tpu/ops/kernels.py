@@ -119,10 +119,31 @@ def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndar
 
 
 def cosort(keys: tuple, payloads: tuple, num_keys: int | None = None):
-    """Stable variadic sort: returns (sorted_keys, sorted_payloads)."""
+    """Stable variadic sort: returns (sorted_keys, sorted_payloads).
+
+    2-D payloads (fixed-size-list columns, shape [n, k]) ride as k
+    separate 1-D operands — lax.sort requires equal shapes — and are
+    re-stacked on the way out."""
     nk = len(keys) if num_keys is None else num_keys
-    out = jax.lax.sort(tuple(keys) + tuple(payloads), num_keys=nk, is_stable=True)
-    return out[: len(keys)], out[len(keys):]
+    flat: list = []
+    shapes: list = []  # None for 1-D; k for 2-D re-stack
+    for p in payloads:
+        if p.ndim == 2:
+            shapes.append(p.shape[1])
+            flat.extend(p[:, j] for j in range(p.shape[1]))
+        else:
+            shapes.append(None)
+            flat.append(p)
+    out = jax.lax.sort(tuple(keys) + tuple(flat), num_keys=nk, is_stable=True)
+    sorted_keys = out[: len(keys)]
+    rest = list(out[len(keys):])
+    restored = []
+    for k2 in shapes:
+        if k2 is None:
+            restored.append(rest.pop(0))
+        else:
+            restored.append(jnp.stack([rest.pop(0) for _ in range(k2)], axis=1))
+    return sorted_keys, tuple(restored)
 
 
 def gather64(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

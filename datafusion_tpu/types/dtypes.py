@@ -35,6 +35,8 @@ class DataType:
     precision: int = 0  # decimal only
     scale: int = 0  # decimal only
     tz: str | None = None  # timestamp only
+    elem: "DataType | None" = None  # fixed_size_list only: element type
+    list_size: int = 0  # fixed_size_list only
 
     # ---- classification ------------------------------------------------
     @property
@@ -77,6 +79,10 @@ class DataType:
     def is_null(self) -> bool:
         return self.kind == "null"
 
+    @property
+    def is_list(self) -> bool:
+        return self.kind == "fixed_size_list"
+
     # ---- device storage --------------------------------------------------
     def storage_np_dtype(self) -> np.dtype:
         """The numpy/jnp dtype used for this type's device buffer."""
@@ -100,6 +106,10 @@ class DataType:
             "string": np.int32,  # dictionary codes
             "null": np.int8,
         }
+        if self.kind == "fixed_size_list":
+            # device layout: data shape (capacity, list_size) of element
+            # storage (the SoA analogue of Arrow FixedSizeList values)
+            return self.elem.storage_np_dtype()
         return np.dtype(m[self.kind])
 
     def integer_bit_width(self) -> int:
@@ -110,6 +120,8 @@ class DataType:
             return f"DECIMAL({self.precision},{self.scale})"
         if self.kind == "timestamp" and self.tz:
             return f"TIMESTAMP[{self.tz}]"
+        if self.kind == "fixed_size_list":
+            return f"FIXEDSIZELIST<{self.elem!r}, {self.list_size}>"
         return self.kind.upper()
 
     def sql_name(self) -> str:
@@ -134,6 +146,8 @@ class DataType:
         }
         if self.kind == "decimal":
             return f"DECIMAL({self.precision},{self.scale})"
+        if self.kind == "fixed_size_list":
+            return f"{self.elem.sql_name()}[{self.list_size}]"
         return m[self.kind]
 
 
