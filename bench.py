@@ -23,6 +23,36 @@ import time
 BASELINE_Q1_SF1_MS = 1956.11
 
 
+def full_suite():
+    """BENCH_FULL=1: all 22 queries at BENCH_SF with full tables; per-query
+    medians land in bench/RESULTS_SF{sf}.json (the SURVEY §6 / BASELINE.md
+    per-query record).  stdout stays machine-parseable: the driver contract
+    of ONE JSON line (the Q1 headline) is preserved by main()."""
+    sf = float(os.environ.get("BENCH_SF", "1.0"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    qs = os.environ.get("BENCH_QUERIES", "")
+    queries = (
+        [int(x) for x in qs.split(",") if x] if qs else list(range(1, 23))
+    )
+    from bench.tpch import bench as tpch_bench
+
+    timings = tpch_bench(sf, queries, iterations=iters)
+    meds = {q: round(statistics.median(ts) * 1000, 2) for q, ts in timings.items()}
+    out = {
+        "sf": sf,
+        "iters": iters,
+        "median_ms": meds,
+        "total_ms": round(sum(meds.values()), 1),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench", f"RESULTS_SF{sf:g}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {path}: total {out['total_ms']} ms over {len(meds)} queries",
+          file=sys.stderr)
+
+
 def main():
     sf = float(os.environ.get("BENCH_SF", "1.0"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -74,4 +104,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_FULL"):
+        full_suite()
     main()

@@ -29,16 +29,18 @@ import os as _os
 import jax as _jax
 
 # Honor JAX_PLATFORMS even when a site hook already registered another
-# backend before this import: the env var alone is silently overridden, so
-# e.g. JAX_PLATFORMS=cpu scripts would otherwise initialize a remote
-# accelerator and block on its health.  Only applies while the config is
-# still unset — an explicit jax.config.update("jax_platforms", ...) made
-# before importing this package (e.g. tests/conftest.py) always wins.
-if _os.environ.get("JAX_PLATFORMS") and getattr(_jax.config, "jax_platforms", None) in (None, ""):
-    try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except Exception:  # pragma: no cover - backend already initialized
-        pass
+# backend (and possibly set jax_platforms) before this import: the env var
+# is the launcher's explicit choice and is JAX's documented override, so
+# e.g. JAX_PLATFORMS=cpu scripts must not initialize a remote accelerator
+# and block on its health.  A no-op once a backend is initialized (the
+# update then raises and we keep whatever is live).
+if _os.environ.get("JAX_PLATFORMS"):
+    _want = _os.environ["JAX_PLATFORMS"]
+    if getattr(_jax.config, "jax_platforms", None) != _want:
+        try:
+            _jax.config.update("jax_platforms", _want)
+        except Exception:  # pragma: no cover - backend already initialized
+            pass
 
 # The engine requires 64-bit ints/floats for SQL semantics (BIGINT, DOUBLE,
 # DECIMAL-as-int64).  TPU MXU work stays in 32/16-bit; columnar transforms are
