@@ -28,19 +28,19 @@ import os as _os
 
 import jax as _jax
 
-# Honor JAX_PLATFORMS even when a site hook already registered another
-# backend (and possibly set jax_platforms) before this import: the env var
-# is the launcher's explicit choice and is JAX's documented override, so
-# e.g. JAX_PLATFORMS=cpu scripts must not initialize a remote accelerator
-# and block on its health.  A no-op once a backend is initialized (the
-# update then raises and we keep whatever is live).
-if _os.environ.get("JAX_PLATFORMS"):
-    _want = _os.environ["JAX_PLATFORMS"]
-    if getattr(_jax.config, "jax_platforms", None) != _want:
-        try:
-            _jax.config.update("jax_platforms", _want)
-        except Exception:  # pragma: no cover - backend already initialized
-            pass
+# Honor JAX_PLATFORMS while the config is still unset: a site hook may
+# have registered another backend before this import, and the env var
+# alone is silently overridden.  An explicit jax.config.update
+# ("jax_platforms", ...) made before importing this package (e.g.
+# tests/conftest.py forcing cpu) ALWAYS wins — a library import must not
+# undo the embedding program's choice (the host profile itself may export
+# JAX_PLATFORMS, so env-always-wins would re-override conftest).  Entry
+# points we own (cli.py, distributed.rpc) re-assert the env explicitly.
+if _os.environ.get("JAX_PLATFORMS") and getattr(_jax.config, "jax_platforms", None) in (None, ""):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
 
 # The engine requires 64-bit ints/floats for SQL semantics (BIGINT, DOUBLE,
 # DECIMAL-as-int64).  TPU MXU work stays in 32/16-bit; columnar transforms are

@@ -143,6 +143,19 @@ def repl(ctx, fmt: str, quiet: bool):
 
 
 def main(argv=None):
+    # the env var is the launcher's explicit backend choice; re-assert it
+    # via config because a site hook importing jax first would otherwise
+    # silently override it (same pattern as distributed.rpc main)
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+
+        try:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     ap = argparse.ArgumentParser(prog="datafusion-tpu-cli")
     ap.add_argument("-f", "--file", help="run SQL statements from a file")
     ap.add_argument("-c", "--command", help="run a single SQL command")

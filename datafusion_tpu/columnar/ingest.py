@@ -79,11 +79,13 @@ def dtype_to_arrow_type(dt: DataType) -> pa.DataType:
     raise InternalError(f"unsupported dtype {dt}")
 
 
-def _arrow_column_to_device(arr: pa.ChunkedArray | pa.Array) -> Column:
+def arrow_column_to_numpy(arr: pa.ChunkedArray | pa.Array):
+    """Host-side conversion: arrow column -> (dtype, np data, np valid,
+    dictionary).  No device transfer — HostTable ingestion (out-of-HBM
+    tables) uses this directly."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     dt = arrow_type_to_dtype(arr.type)
-    n = len(arr)
     valid = np.asarray(arr.is_valid())
 
     if dt.is_string:
@@ -91,7 +93,7 @@ def _arrow_column_to_device(arr: pa.ChunkedArray | pa.Array) -> Column:
             arr = arr.cast(pa.string())
         py = arr.to_pylist()
         d, codes = StringDict.from_strings(py)
-        return Column.from_numpy(dt, codes, valid, d)
+        return dt, codes, valid, d
 
     if dt.is_decimal:
         py = arr.to_pylist()
@@ -100,24 +102,29 @@ def _arrow_column_to_device(arr: pa.ChunkedArray | pa.Array) -> Column:
             [int(round(float(v) * scale)) if v is not None else 0 for v in py],
             dtype=np.int64,
         )
-        return Column.from_numpy(dt, data, valid)
+        return dt, data, valid, None
 
     if dt == TIMESTAMP_US:
         data = arr.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
         data = data.astype("datetime64[us]").astype(np.int64)
-        return Column.from_numpy(dt, np.where(valid, data, 0), valid)
+        return dt, np.where(valid, data, 0), valid, None
 
     if dt == DATE32:
         data = arr.cast(pa.date32()).to_numpy(zero_copy_only=False)
         data = data.astype("datetime64[D]").astype(np.int64)
-        return Column.from_numpy(dt, np.where(valid, data, 0), valid)
+        return dt, np.where(valid, data, 0), valid, None
 
     data = arr.to_numpy(zero_copy_only=False)
     if data.dtype == object or np.issubdtype(data.dtype, np.floating) and dt.is_integer:
         data = np.array([v if v is not None else 0 for v in arr.to_pylist()])
     if np.issubdtype(data.dtype, np.floating) and dt.is_float:
         data = np.where(valid, data, 0.0)
-    return Column.from_numpy(dt, data, valid)
+    return dt, data, valid, None
+
+
+def _arrow_column_to_device(arr: pa.ChunkedArray | pa.Array) -> Column:
+    dt, data, valid, d = arrow_column_to_numpy(arr)
+    return Column.from_numpy(dt, data, valid, d)
 
 
 def arrow_to_table(t: pa.Table | pa.RecordBatch) -> Table:

@@ -149,7 +149,22 @@ class DistributedPlanner:
             child, n = self._walk(p.input)
             if n == 1:
                 return p.with_new_children([child]), 1
-            partial = HashAggregateExec("partial", p.group_expr, p.aggr_expr, child)
+            distinct_aggs = [a for a in p.aggr_expr if a.distinct]
+            if distinct_aggs:
+                # distinct states cannot ship as scalars (per-partition
+                # dedup over-counts cross-partition repeats): the partial
+                # groups by (keys + distinct value exprs) and ships the
+                # dedup'd PAIRS; shuffling by the ORIGINAL keys co-locates
+                # each group's values so the final re-dedups exactly
+                pgroup = list(p.group_expr) + [
+                    (a.expr, f"__dv{i}") for i, a in enumerate(distinct_aggs)
+                ]
+                paggs = [a for a in p.aggr_expr if not a.distinct]
+                partial = HashAggregateExec("partial", pgroup, paggs, child)
+            else:
+                partial = HashAggregateExec(
+                    "partial", p.group_expr, p.aggr_expr, child
+                )
             pschema = partial.schema()
             if p.group_expr:
                 keys = [
@@ -163,7 +178,16 @@ class DistributedPlanner:
                 (PhysCol(pschema.fields[i].name, i, pschema.fields[i].dtype), name)
                 for i, (_, name) in enumerate(p.group_expr)
             ]
-            return HashAggregateExec("final", final_group, p.aggr_expr, reader), m
+            return (
+                HashAggregateExec(
+                    "final",
+                    final_group,
+                    p.aggr_expr,
+                    reader,
+                    distinct_values=len(distinct_aggs),
+                ),
+                m,
+            )
 
         if isinstance(p, HashJoinExec):
             left, ln = self._walk(p.left)

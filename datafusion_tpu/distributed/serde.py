@@ -777,6 +777,7 @@ def pplan_to_dict(p: ExecutionPlan) -> dict:
             "group": [[pexpr_to_dict(e), n] for e, n in p.group_expr],
             "aggr": [_agg_expr_to_dict(a) for a in p.aggr_expr],
             "input": pplan_to_dict(p.input),
+            "distinct_values": p.distinct_values,
         }
     if isinstance(p, HashJoinExec):
         return {
@@ -889,6 +890,7 @@ def pplan_from_dict(d: dict, store=None, work_dir: str = "") -> ExecutionPlan:
             [(pexpr_from_dict(e), n) for e, n in d["group"]],
             [_agg_expr_from_dict(a) for a in d["aggr"]],
             pplan_from_dict(d["input"], store, work_dir),
+            d.get("distinct_values", 0),
         )
     if k == "hash_join":
         return HashJoinExec(

@@ -166,9 +166,30 @@ class ExecutionContext:
     def register_table(self, name: str, table) -> None:
         if isinstance(table, Table):
             table = MemTable(table)
+        else:
+            from ..datasource.host import HostTable, HostTableProvider
+
+            if isinstance(table, HostTable):
+                table = HostTableProvider(table)
         if not isinstance(table, TableProvider):
             raise PlanError(f"cannot register {type(table)} as a table")
         self._default_schema().register_table(name, table)
+        self._catalog_version += 1
+
+    def register_host_table(self, name: str, table, morsel_rows: int | None = None) -> None:
+        """Register a HOST-resident table: scans stream fixed-capacity
+        morsels through fused stages instead of requiring whole-table HBM
+        residency (out-of-HBM execution; the reference's streamed scans,
+        parquet.rs:596-636)."""
+        from ..datasource.host import HostTable, HostTableProvider
+
+        if isinstance(table, Table):
+            table = HostTable.from_table(table)
+        if not isinstance(table, HostTable):
+            raise PlanError(f"cannot register {type(table)} as a host table")
+        if morsel_rows is not None:
+            table.morsel_rows = int(morsel_rows)
+        self._default_schema().register_table(name, HostTableProvider(table))
         self._catalog_version += 1
 
     def deregister_table(self, name: str) -> None:
@@ -180,7 +201,22 @@ class ExecutionContext:
             name, CsvFile(path, schema, has_header, delimiter)
         )
 
-    def register_parquet(self, name: str, path: str):
+    def register_parquet(
+        self,
+        name: str,
+        path: str,
+        host_resident: bool = False,
+        morsel_rows: int | None = None,
+    ):
+        """host_resident=True keeps the file's columns in HOST memory and
+        streams fixed-capacity morsels through fused stages — for tables
+        larger than HBM (out-of-HBM execution)."""
+        if host_resident:
+            from ..datasource.host import HostTable
+
+            t = HostTable.from_parquet(path)
+            self.register_host_table(name, t, morsel_rows=morsel_rows)
+            return
         self.register_table(name, ParquetTable(path))
 
     def register_json(self, name: str, path: str, schema: Schema | None = None):

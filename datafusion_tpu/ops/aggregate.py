@@ -122,7 +122,16 @@ class HashAggregateExec(ExecutionPlan):
     single : raw rows in, final values out
     partial: raw rows in, state columns out (for shuffle)
     final  : state columns in (schema = group keys + state), final values out
-    """
+
+    DISTINCT aggregates cannot ship scalar partial states (a per-partition
+    distinct count over-counts values seen on several partitions — the
+    reference keeps the value SET as state, distinct_expressions.rs).  The
+    split (build_distinct_partial_final) instead has the partial phase
+    group by (keys + distinct value exprs) — emitting the DEDUP'D PAIRS as
+    rows — and the final phase (``distinct_values`` > 0) re-deduplicates
+    values cross-partition per group before aggregating them, while
+    non-distinct states merge normally.  Final input layout with
+    distinct_values=k: [group keys..., dv_0..dv_{k-1}, states...]."""
 
     def __init__(
         self,
@@ -130,6 +139,7 @@ class HashAggregateExec(ExecutionPlan):
         group_expr: list[tuple[PhysicalExpr, str]],
         aggr_expr: list[PhysAggExpr],
         input: ExecutionPlan,
+        distinct_values: int = 0,
     ):
         super().__init__()
         if mode not in ("single", "partial", "final"):
@@ -138,6 +148,9 @@ class HashAggregateExec(ExecutionPlan):
         self.group_expr = group_expr
         self.aggr_expr = aggr_expr
         self.input = input
+        self.distinct_values = distinct_values
+        if distinct_values and mode != "final":
+            raise InternalError("distinct_values only applies to final mode")
 
     def schema(self) -> Schema:
         fields = [Field(name, e.dtype, True) for e, name in self.group_expr]
@@ -154,7 +167,9 @@ class HashAggregateExec(ExecutionPlan):
         return [self.input]
 
     def with_new_children(self, c):
-        return HashAggregateExec(self.mode, self.group_expr, self.aggr_expr, c[0])
+        return HashAggregateExec(
+            self.mode, self.group_expr, self.aggr_expr, c[0], self.distinct_values
+        )
 
     # ------------------------------------------------------------------
     def _execute(self) -> Table:
@@ -286,15 +301,26 @@ class HashAggregateExec(ExecutionPlan):
                     Column(kc.dtype, K.gather64(sc.data, fi), sc.valid[fi] & gv, kc.dictionary)
                 )
 
-        # state columns follow the group keys in input schema order
-        idx = nkeys
+        # input layout: [keys..., distinct value cols..., state cols...];
+        # distinct aggs re-aggregate their (cross-partition re-deduplicated)
+        # raw values, non-distinct aggs merge partial states
+        ndv = self.distinct_values
+        idx = nkeys + ndv
+        dvi = 0
         for a in self.aggr_expr:
-            nstate = len(a.state_fields())
-            state_cols = sorted_cols[idx : idx + nstate]
-            idx += nstate
-            merged = _merge_aggregate(
-                a, state_cols, None, gid, cap, alive_sorted, ngroups
-            )
+            if ndv and a.distinct:
+                dv_col = sorted_cols[nkeys + dvi]
+                dvi += 1
+                merged = _final_distinct_over_values(
+                    a, dv_col, gid, cap, alive_sorted, ngroups
+                )
+            else:
+                nstate = len(a.state_fields())
+                state_cols = sorted_cols[idx : idx + nstate]
+                idx += nstate
+                merged = _merge_aggregate(
+                    a, state_cols, None, gid, cap, alive_sorted, ngroups
+                )
             names.append(a.name)
             out_cols.append(merged)
 
@@ -450,6 +476,22 @@ def _eval_aggregate(a: PhysAggExpr, t: Table, perm, gid, cap, alive, ngroups, em
         return [_finalize_var(f, n, s, ss, gvalid)]
 
     raise PlanError(f"aggregate '{f}' not implemented")
+
+
+def _final_distinct_over_values(a: PhysAggExpr, dv_col, gid, cap, alive, ngroups):
+    """Final phase of a DISTINCT aggregate: the partial phase shipped the
+    deduplicated VALUES (not scalar states), so re-deduplicate per group —
+    values seen on several partitions arrive several times — and aggregate
+    the survivors exactly like the single-node distinct path."""
+    from ..exprs.physical import PhysCol
+
+    shim = PhysAggExpr(
+        a.fun, PhysCol("__dv", 0, dv_col.dtype), a.name, distinct=True
+    )
+    t = Table(["__dv"], [dv_col], 0)
+    return _eval_aggregate(
+        shim, t, None, gid, cap, alive, ngroups, emit_state=False
+    )[0]
 
 
 def _distinct_mask(v, perm, gid, data, valid, cap):

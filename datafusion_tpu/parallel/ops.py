@@ -158,6 +158,13 @@ def dist_aggregate(
 ) -> ShardedTable:
     """partial local agg -> all_to_all by group-key hash -> final local agg,
     fused into one jitted SPMD program."""
+    if any(a.distinct for a in aggr_expr):
+        # scalar partial states over-count values repeated across shards
+        # (the single-device path dedups globally); the SPMD executor's
+        # fallback gathers and runs the exact single-device aggregate
+        raise ExecutionError(
+            "dist_aggregate: DISTINCT aggregates require global dedup"
+        )
     ndev = st.ndev
     ncols = len(st.datas)
     cap = st.shard_cap

@@ -136,6 +136,20 @@ class FuseStages:
         return self._opt(plan, is_root=True)
 
     def _opt(self, plan: ExecutionPlan, is_root: bool) -> ExecutionPlan:
+        # host-resident (out-of-HBM) sources stream morsels through the
+        # fused stage instead of materializing; must be checked before the
+        # StageExec path (HostMemoryExec IS a MemoryExec, and StageExec
+        # would materialize the whole table on device)
+        from ..datasource.host import HostMemoryExec
+        from .morsel import MorselStageExec
+
+        mchain, mbelow = _fusable_chain(plan)
+        if (
+            mchain is not None
+            and isinstance(mbelow, HostMemoryExec)
+            and not any(isinstance(op, WindowAggExec) for op in mchain)
+        ):
+            return MorselStageExec(mchain, mbelow, root=is_root)
         if compilable(plan) and _worth_fusing(plan):
             return StageExec(plan, root=is_root)
         # tail fusion: a fusable prefix above a non-fusable input (join,

@@ -362,3 +362,41 @@ def test_lost_executor_requeues_tasks():
     time.sleep(0.01)
     st.requeue_lost_tasks(window_s=0.0)
     assert st.task("j1", 0, 0)["status"] == "PENDING"
+
+
+def test_distributed_distinct_aggregates():
+    """DISTINCT aggregates across partitions: the partial phase ships
+    dedup'd (key, value) pairs (not scalar states, which over-count values
+    repeated on several partitions); the final re-dedups per key
+    (HashAggregateExec distinct_values).  Mirrors the reference's
+    set-valued DistinctCount state (distinct_expressions.rs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    t = Table.from_pydict(
+        {
+            "g": rng.integers(0, 3, 1000).astype(np.int64),
+            "k": rng.integers(0, 7, 1000).astype(np.int64),
+            "v": rng.normal(size=1000),
+        }
+    )
+    local = ExecutionContext()
+    local.register_table("t", t)
+    d = DistributedContext(standalone=True, num_executors=2, target_partitions=3)
+    try:
+        d.register_table("t", t)
+        for q in [
+            "SELECT g, count(distinct k) c, sum(v) s, count(*) n FROM t GROUP BY g ORDER BY g",
+            "SELECT count(distinct k) FROM t",
+            "SELECT g, avg(distinct k) a, min(v) m FROM t GROUP BY g ORDER BY g",
+        ]:
+            a = local.sql(q).collect().to_pydict()
+            b = d.sql(q).collect().to_pydict()
+            for va, vb in zip(a.values(), b.values()):
+                for x, y in zip(va, vb):
+                    if isinstance(x, float):
+                        assert abs(x - y) < 1e-9 * max(1.0, abs(x))
+                    else:
+                        assert x == y, (q, a, b)
+    finally:
+        d.close()

@@ -1,0 +1,74 @@
+"""Out-of-HBM morsel streaming (SURVEY §7 hard part (g)): host-resident
+tables execute fused stages per fixed-capacity morsel — one compiled
+program for the whole scan — with partial->final aggregate merging, and
+must match the device-resident engine row-exactly."""
+
+import numpy as np
+import pytest
+
+from datafusion_tpu import ExecutionContext
+from datafusion_tpu.columnar import Table
+
+
+def _data(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "k": rng.integers(0, 7, n).astype(np.int64),
+        "s": np.array(["ab", "cd", "ef"], dtype=object)[rng.integers(0, 3, n)],
+        "v": rng.normal(size=n),
+        "q": rng.integers(0, 100, n).astype(np.int64),
+    }
+
+
+@pytest.fixture(scope="module")
+def ctxs():
+    data = _data()
+    dev = ExecutionContext()
+    dev.register_table("t", Table.from_pydict(data))
+    host = ExecutionContext()
+    # tiny morsels force many chunks (5000 rows -> 5 morsels)
+    host.register_host_table("t", Table.from_pydict(data), morsel_rows=1024)
+    return dev, host
+
+
+QUERIES = [
+    "SELECT k, s, count(*) c, sum(v) sv, avg(q) aq, min(v) mv, max(q) xq "
+    "FROM t GROUP BY k, s ORDER BY k, s",
+    "SELECT count(*), sum(q) FROM t WHERE v > 0.5",
+    "SELECT k, v FROM t WHERE q > 95 ORDER BY v DESC LIMIT 7",
+    "SELECT count(distinct k) FROM t",
+    "SELECT k, count(distinct s) c, sum(q) s2 FROM t GROUP BY k ORDER BY k",
+    "SELECT sum(v) FROM t WHERE s = 'ab' AND q BETWEEN 10 AND 20",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_morsel_matches_device(ctxs, q):
+    dev, host = ctxs
+    a = dev.sql(q).collect().to_pydict()
+    b = host.sql(q).collect().to_pydict()
+    assert list(a) == list(b) or len(a) == len(b)
+    for va, vb in zip(a.values(), b.values()):
+        assert len(va) == len(vb)
+        for x, y in zip(va, vb):
+            if isinstance(x, float):
+                assert abs(x - y) < 1e-6 * max(1.0, abs(x)), (x, y)
+            else:
+                assert x == y, (x, y)
+
+
+def test_morsel_plan_engages():
+    """EXPLAIN shows the morsel stage (not whole-table materialization)."""
+    host = ExecutionContext()
+    host.register_host_table("t", Table.from_pydict(_data(3000)), morsel_rows=1024)
+    rows = host.sql("EXPLAIN SELECT k, sum(v) FROM t GROUP BY k").collect()
+    txt = " ".join(str(v) for v in rows.to_pydict().values())
+    assert "MorselStageExec" in txt, txt
+
+
+def test_morsel_single_morsel_degenerate():
+    """A host table smaller than one morsel still works (single slice)."""
+    host = ExecutionContext()
+    host.register_host_table("t", Table.from_pydict(_data(100)), morsel_rows=4096)
+    out = host.sql("SELECT count(*) FROM t").collect().to_pydict()
+    assert list(out.values())[0] == [100]
