@@ -26,6 +26,20 @@ from ..errors import InternalError
 AXIS = "dp"
 
 
+def host_read(x) -> np.ndarray:
+    """np.asarray for a possibly multi-controller global array.
+
+    Under jax.distributed (parallel/multihost.py) a mesh spans every
+    host's devices and shard data is NOT process-local; fetching it
+    requires an all-gather through the runtime.  Single-process arrays
+    take the direct path."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
@@ -103,7 +117,7 @@ class ShardedTable:
         D2H sync reads the per-shard counts; one jitted per-shard slice
         repacks.  Live rows are already front-compacted per shard, so the
         slice is the whole operation."""
-        counts = np.asarray(self.nrows)  # one host sync
+        counts = host_read(self.nrows)  # one host sync
         need = int(counts.max()) + margin if counts.size else 1
         newcap = round_capacity(max(need, 1))
         if newcap >= self.shard_cap:
@@ -137,13 +151,13 @@ class ShardedTable:
     def to_table(self) -> Table:
         """Gather all shards into one compacted single-device Table."""
         ndev = self.ndev
-        counts = np.asarray(self.nrows)
+        counts = host_read(self.nrows)
         total = int(counts.sum())
         cap = round_capacity(total)
         cols = []
         for dt, dic, d, v in zip(self.dtypes, self.dicts, self.datas, self.valids):
-            hd = np.asarray(d).reshape(ndev, self.shard_cap)
-            hv = np.asarray(v).reshape(ndev, self.shard_cap)
+            hd = host_read(d).reshape(ndev, self.shard_cap)
+            hv = host_read(v).reshape(ndev, self.shard_cap)
             buf = np.zeros(cap, dtype=hd.dtype)
             vbuf = np.zeros(cap, dtype=bool)
             at = 0
