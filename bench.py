@@ -14,6 +14,16 @@ _os.environ.setdefault(
     "DATAFUSION_TPU_JAX_CACHE",
     _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
 )
+if _os.environ.get("JAX_PLATFORMS"):
+    # entry point we own: the env var is the launcher's explicit backend
+    # choice; re-assert it over the axon site hook's 'axon,cpu' config
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover
+        pass
+
 import json
 import os
 import statistics

@@ -147,6 +147,25 @@ class Table:
         return table_to_arrow(self)
 
     # ---- manipulation -------------------------------------------------------
+    def shrink_to_fit(self, only_if_above: int = 0) -> "Table":
+        """Right-size capacity to the live row count (live rows are
+        front-compacted, so this is a slice).
+
+        Operators compute over CAPACITY, not live rows, and speculative
+        join outputs keep the probe side's capacity — a 42-row HAVING
+        result can arrive with a 1M-row buffer and drag every downstream
+        sort/aggregate to 25,000x its useful work.  Reading the count
+        costs one tiny D2H sync when it is still lazy (~28 ms through a
+        remote-TPU tunnel), so callers gate with ``only_if_above``: below
+        that capacity the padding is cheaper than the sync.  No-op unless
+        the capacity at least halves."""
+        if self.capacity <= only_if_above:
+            return self
+        newcap = round_capacity(self.nrows)  # may sync a lazy count
+        if newcap * 2 > self.capacity:
+            return self
+        return self.with_capacity(newcap)
+
     def with_capacity(self, capacity: int) -> "Table":
         return Table(
             self.names,

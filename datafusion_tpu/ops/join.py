@@ -42,6 +42,10 @@ from .base import ExecutionPlan
 
 JOIN_TYPES = ("inner", "left", "right", "full", "semi", "anti")
 
+# below this capacity, padding costs less than the D2H count sync that a
+# shrink needs (~28 ms through a remote-TPU tunnel)
+SHRINK_SYNC_MIN_CAP = 1 << 17
+
 
 class HashJoinExec(ExecutionPlan):
     """Equi-join.  Probe side = left input, build side = right input.
@@ -83,6 +87,12 @@ class HashJoinExec(ExecutionPlan):
     def _execute(self) -> Table:
         lt = self.left.execute()
         rt = self.right.execute()
+        # joins sort/probe at CAPACITY; an upstream speculative output can
+        # carry a huge buffer around a tiny live count (HAVING results,
+        # selective filters).  One count sync each is cheaper than sorting
+        # megabytes of padding once capacities reach this size.
+        lt = lt.shrink_to_fit(only_if_above=SHRINK_SYNC_MIN_CAP)
+        rt = rt.shrink_to_fit(only_if_above=SHRINK_SYNC_MIN_CAP)
         return join_tables(
             lt, rt, self.on, self.join_type, self.filter, self.metrics,
             force_exact=getattr(self, "_force_exact", False),
@@ -151,8 +161,73 @@ def _join_keys(ltv: Table, rtv: Table, on):
     return lkeys, rkeys
 
 
+# builds with at most this many (host-known) live rows take the
+# direct-compare semi/anti path (no hashes, no sorts, no candidate
+# expansion): a fori_loop of vectorized probe-vs-build-row compares,
+# trip count = the actual build count.  Selective subqueries (HAVING,
+# EXISTS rewrites) routinely hand a 6-row build against a million-row
+# probe; sort-merge machinery there is almost pure overhead.
+TINY_BUILD_ROWS = 256
+
+
+def _tiny_semi_anti(lt: Table, rt: Table, on, join_type: str) -> Table:
+    lcap, rcap = lt.capacity, rt.capacity
+    key = ("T", _table_sig(lt), _table_sig(rt), repr(on), join_type)
+    entry = _cache_get(key)
+    if entry is None:
+
+        def program(ld, lv, nl, rd, rv, nr):
+            ltv = _view(lt, ld, lv)
+            rtv = _view(rt, rd, rv)
+            lkeys, rkeys = _join_keys(ltv, rtv, on)
+            lord = [K.orderable_key(c.data, c.dtype) for c in lkeys]
+            rord = [K.orderable_key(c.data, c.dtype) for c in rkeys]
+            lval = [c.valid for c in lkeys]
+            rval = [c.valid for c in rkeys]
+
+            def body(i, matched):
+                eq = jnp.ones(lcap, dtype=bool)
+                for lo_, lv_, ro_, rv_ in zip(lord, lval, rord, rval):
+                    eq = eq & lv_ & rv_[i] & (lo_ == ro_[i])
+                return matched | eq
+
+            # live build rows are front-compacted: loop exactly nr rows
+            # (dynamic trip count — one compiled program for any build
+            # size at these shapes)
+            matched = jax.lax.fori_loop(
+                0,
+                jnp.minimum(nr, rcap).astype(jnp.int32),
+                body,
+                jnp.zeros(lcap, dtype=bool),
+            )
+            keep = matched if join_type == "semi" else ~matched
+            return K.filter_compact(ld, lv, keep, nl)
+
+        entry = jax.jit(program)
+        _cache_put(key, entry)
+
+    ld = tuple(c.data for c in lt.columns)
+    lv = tuple(c.valid for c in lt.columns)
+    rd = tuple(c.data for c in rt.columns)
+    rv = tuple(c.valid for c in rt.columns)
+    out_d, out_v, cnt = entry(ld, lv, lt.nrows_dev, rd, rv, rt.nrows_dev)
+    cols = [
+        Column(c.dtype, d, v, c.dictionary)
+        for c, d, v in zip(lt.columns, out_d, out_v)
+    ]
+    return Table(list(lt.names), cols, cnt)
+
+
 def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=False) -> Table:
     lcap, rcap = lt.capacity, rt.capacity
+    if (
+        join_type in ("semi", "anti")
+        and filter is None
+        and isinstance(rt._nrows, int)  # count already on host: free check
+        and rt.nrows <= TINY_BUILD_ROWS
+        and lcap > rcap
+    ):
+        return _tiny_semi_anti(lt, rt, on, join_type)
     base_key = (_table_sig(lt), _table_sig(rt), repr(on), join_type, repr(filter))
 
     entry_a = _cache_get(("A",) + base_key)

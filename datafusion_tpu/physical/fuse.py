@@ -85,6 +85,13 @@ class TailStageExec(ExecutionPlan):
 
     def _execute(self) -> Table:
         t = self.input_exec.execute()
+        # the tail's sorts/aggregates run at the input's CAPACITY; a
+        # speculative join above a selective filter can hand over a
+        # near-empty buffer at probe capacity — right-size first (one
+        # count sync, gated to large buffers)
+        from ..ops.join import SHRINK_SYNC_MIN_CAP
+
+        t = t.shrink_to_fit(only_if_above=SHRINK_SYNC_MIN_CAP)
         return self.stage.execute(shrink=not self.root, src=t)
 
     def _display_line(self):
