@@ -237,14 +237,16 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
             ltv = _view(lt, ld, lv)
             rtv = _view(rt, rd, rv)
             lkeys, rkeys = _join_keys(ltv, rtv, on)
-            lhash = K.hash_columns(
+            # 32-bit folded hashes: half the sort width at native TPU ALU
+            # width; collisions are discarded by exact verification
+            lhash = K.hash_fold32(K.hash_columns(
                 [K.hashable_key(c.data, c.dtype) for c in lkeys],
                 [c.valid for c in lkeys],
-            )
-            rhash = K.hash_columns(
+            ))
+            rhash = K.hash_fold32(K.hash_columns(
                 [K.hashable_key(c.data, c.dtype) for c in rkeys],
                 [c.valid for c in rkeys],
-            )
+            ))
             sorted_hash, build_order = K.join_build_sort(rhash, nr)
             probe_ok = jnp.arange(lcap) < nl
             for c in lkeys:

@@ -105,6 +105,16 @@ def hash_columns(keys: list[jnp.ndarray], valids: list[jnp.ndarray]) -> jnp.ndar
     return h
 
 
+def hash_fold32(h: jnp.ndarray) -> jnp.ndarray:
+    """Fold a 64-bit hash to 32 bits for SORTING.
+
+    TPU ALUs are 32-bit (x64 int ops are emulated as word pairs), so a
+    sort keyed on uint32 moves half the bytes at native width.  Collisions
+    (~n^2/2^33: ~100 pairs at 1M rows) only add candidates that exact key
+    verification discards — the join contract never trusts the hash."""
+    return (h ^ (h >> jnp.uint64(32))).astype(jnp.uint32)
+
+
 # ---------------------------------------------------------------------------
 # co-sorting & gathering primitives
 #
@@ -464,7 +474,7 @@ def join_build_sort(build_hash: jnp.ndarray, nrows_build: jnp.ndarray):
     carrying the row index, no gather."""
     cap = build_hash.shape[0]
     alive = jnp.arange(cap) < nrows_build
-    h = jnp.where(alive, build_hash, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    h = jnp.where(alive, build_hash, jnp.iinfo(build_hash.dtype).max)
     (h_s,), (order,) = cosort((h,), (jnp.arange(cap, dtype=jnp.int32),))
     return h_s, order
 
