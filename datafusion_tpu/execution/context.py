@@ -326,7 +326,19 @@ class ExecutionContext:
                 SortedAggregateRule,
             )
 
-            rules = [SortedAggregateRule(), EliminateRedundantSort(), FuseStages()]
+            from ..physical.dedup import DeduplicateSubtrees, ShareCommonSubtrees
+
+            rules = [
+                SortedAggregateRule(),
+                EliminateRedundantSort(),
+                # views/CTEs referenced twice: merge the raw subtrees into
+                # one marked instance so fusion fences around them ...
+                ShareCommonSubtrees(),
+                FuseStages(),
+                # ... and merge the (identical) stage wrappers fusion then
+                # builds, so the shared work runs ONCE per query epoch
+                DeduplicateSubtrees(),
+            ]
         for rule in rules:
             phys = rule.optimize(phys)
         return phys

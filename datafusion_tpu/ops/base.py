@@ -13,6 +13,7 @@ Per-operator metrics mirror SQLMetric (mod.rs:59-122).
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -50,6 +51,11 @@ class MetricsSet:
         return self._metrics.items()
 
 
+# per-thread execution scope: top-level execute() calls open a new epoch
+# (shared-subtree memos are valid only within one epoch)
+_EXEC_STATE = threading.local()
+
+
 class ExecutionPlan:
     """Base physical operator."""
 
@@ -66,14 +72,35 @@ class ExecutionPlan:
         raise NotImplementedError
 
     def execute(self) -> Table:
-        """Run this operator (and its inputs) to completion on this device."""
-        t0 = time.perf_counter_ns()
-        out = self._execute()
-        self.metrics.timer("elapsed_ns").add(time.perf_counter_ns() - t0)
+        """Run this operator (and its inputs) to completion on this device.
+
+        A node marked by DeduplicateSubtrees (physical/dedup.py) as shared
+        memoizes its result for the duration of one top-level execution: a
+        view/CTE referenced twice runs once.  The epoch bumps whenever a
+        new top-level execute() begins (depth 0), so repeated runs of the
+        same plan object — warm benchmarks, speculative-overflow exact
+        reruns — never see a stale memo."""
+        st = _EXEC_STATE
+        depth = getattr(st, "depth", 0)
+        if depth == 0:
+            st.epoch = getattr(st, "epoch", 0) + 1
+        if getattr(self, "_dedup_shared", False):
+            memo = getattr(self, "_dedup_memo", None)
+            if memo is not None and memo[0] == getattr(st, "epoch", 0):
+                return memo[1]
+        st.depth = depth + 1
+        try:
+            t0 = time.perf_counter_ns()
+            out = self._execute()
+            self.metrics.timer("elapsed_ns").add(time.perf_counter_ns() - t0)
+        finally:
+            st.depth = depth
         # record the table, not out.nrows: reading nrows here would force a
         # device sync per operator (Table keeps lazy device-resident counts);
         # collect_plan_metrics materializes on harvest
         self._metrics_out = out
+        if getattr(self, "_dedup_shared", False):
+            self._dedup_memo = (st.epoch, out)
         return out
 
     def _execute(self) -> Table:

@@ -263,10 +263,19 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
     rv = tuple(c.valid for c in rt.columns)
     nl, nr = lt.nrows_dev, rt.nrows_dev
     lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
-    if K.spec_active() and not force_exact and join_type in ("inner", "semi", "anti"):
+    if (
+        K.spec_active()
+        and not force_exact
+        and join_type in ("inner", "semi", "anti")
+        and lcap <= SHRINK_SYNC_MIN_CAP
+    ):
         # speculative sizing: probe-capacity output, overflow flag checked
         # once per query by the speculation window (kernels.py note) —
-        # ZERO host syncs in this join
+        # ZERO host syncs in this join.  Only below SHRINK_SYNC_MIN_CAP:
+        # phase B's expand/verify/compact all run at out_cap, so for a
+        # selective join over a large probe (q17: 778 pairs from a 1M-cap
+        # probe) sizing at lcap wastes orders of magnitude more compute
+        # than the one ~28 ms sync the exact path costs.
         out_cap = lcap
         K.spec_record((total_dev > out_cap).astype(jnp.int32))
     else:

@@ -109,28 +109,36 @@ def _fusable_chain(plan: ExecutionPlan):
 
     from .stage_compiler import node_jit_safe
 
+    def _absorbable(n):
+        # a shared subtree (ShareCommonSubtrees) is a stage boundary: both
+        # referencing contexts must see the SAME node so its result memo
+        # is reused, not two differently-fused copies.  The shared node
+        # itself (n is plan) may still head its OWN stage.
+        return n is plan or not getattr(n, "_dedup_shared", False)
+
     chain = []
     node = plan
-    if isinstance(node, GlobalLimitExec):
+    if isinstance(node, GlobalLimitExec) and _absorbable(node):
         chain.append(node)
         node = node.input
-    if isinstance(node, SortExec) and node_jit_safe(node):
+    if isinstance(node, SortExec) and node_jit_safe(node) and _absorbable(node):
         chain.append(node)
         node = node.input
-    while isinstance(node, ProjectionExec) and node_jit_safe(node):
+    while isinstance(node, ProjectionExec) and node_jit_safe(node) and _absorbable(node):
         chain.append(node)
         node = node.input
     if (
         isinstance(node, HashAggregateExec)
         and node.mode in ("single", "partial")
         and node_jit_safe(node)
+        and _absorbable(node)
     ):
         chain.append(node)
         node = node.input
-    elif isinstance(node, WindowAggExec) and node_jit_safe(node):
+    elif isinstance(node, WindowAggExec) and node_jit_safe(node) and _absorbable(node):
         chain.append(node)
         node = node.input
-    while isinstance(node, (FilterExec, ProjectionExec)) and node_jit_safe(node):
+    while isinstance(node, (FilterExec, ProjectionExec)) and node_jit_safe(node) and _absorbable(node):
         chain.append(node)
         node = node.input
     return (chain, node) if chain else (None, None)

@@ -90,24 +90,30 @@ def compilable(plan: ExecutionPlan) -> bool:
     Shape: [Limit?] [Sort?] [Proj*] [Agg?] (Filter|Proj)* Memory — the whole
     query tail fuses so the host dispatches ONE XLA program per query
     (post-aggregate sort/projection run on the shrunk in-trace buffers)."""
+    def _ok(n):
+        # shared subtrees (physical/dedup.py) are stage boundaries; the
+        # shared node itself may still head its own stage
+        return n is plan or not getattr(n, "_dedup_shared", False)
+
     node = plan
-    if isinstance(node, GlobalLimitExec):
+    if isinstance(node, GlobalLimitExec) and _ok(node):
         node = node.input
-    if isinstance(node, SortExec) and node_jit_safe(node):
+    if isinstance(node, SortExec) and node_jit_safe(node) and _ok(node):
         node = node.input
-    while isinstance(node, ProjectionExec) and node_jit_safe(node):
+    while isinstance(node, ProjectionExec) and node_jit_safe(node) and _ok(node):
         node = node.input
     if (
         isinstance(node, HashAggregateExec)
         and node.mode in ("single", "partial")
         and node_jit_safe(node)
+        and _ok(node)
     ):
         node = node.input
-    elif isinstance(node, WindowAggExec) and node_jit_safe(node):
+    elif isinstance(node, WindowAggExec) and node_jit_safe(node) and _ok(node):
         node = node.input
-    while isinstance(node, (FilterExec, ProjectionExec)) and node_jit_safe(node):
+    while isinstance(node, (FilterExec, ProjectionExec)) and node_jit_safe(node) and _ok(node):
         node = node.input
-    return isinstance(node, MemoryExec)
+    return isinstance(node, MemoryExec) and not getattr(node, "_dedup_shared", False)
 
 
 class CompiledStage:
