@@ -1,7 +1,12 @@
 """Per-operator profiling of TPC-H queries on the current backend.
 
-Usage: python -m bench.profile_q --sf 0.1 --queries 3,5,18
-Prints per-op elapsed/output_rows from SQLMetrics after a warm-up run.
+Usage: python -m bench.profile_q --sf 0.1 --queries 3,5,18 [--peak-gbs 819]
+Prints per-op elapsed/output_rows from SQLMetrics after a warm-up run,
+plus ROOFLINE accounting (SURVEY.md par.7 step 9): estimated bytes touched
+per operator (output capacity x column widths, x2 for the sort-dominated
+join/sort ops) over elapsed time -> effective GB/s and % of the HBM
+speed-of-light (--peak-gbs; v5e HBM ~819 GB/s, use ~50 for one CPU core).
+An op far below peak is dispatch/padding-bound, not bandwidth-bound.
 """
 import os as _os
 _os.environ.setdefault(
@@ -12,11 +17,20 @@ import argparse, time
 import numpy as np
 
 
+class _Zero:
+    value = 0
+
+
+SQLMetricZero = _Zero()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.1)
     ap.add_argument("--queries", type=str, default="3,5,18")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--peak-gbs", type=float, default=819.0,
+                    help="HBM speed-of-light for the roofline %% (v5e: 819)")
     args = ap.parse_args()
     if args.cpu:
         import jax; jax.config.update("jax_platforms", "cpu")
@@ -59,6 +73,15 @@ def main():
             mo = getattr(p, "_metrics_out", None)
             if mo is not None:
                 p.metrics.counter("output_rows").add(mo.nrows)
+                width = sum(
+                    c.data.dtype.itemsize + 1 for c in mo.columns
+                )
+                # sort-based ops stream the buffer through a few sorting-
+                # network passes; elementwise ops touch it ~once each way
+                from datafusion_tpu.ops.join import HashJoinExec
+                from datafusion_tpu.ops.sort import SortExec
+                factor = 4 if isinstance(p, (HashJoinExec, SortExec)) else 2
+                p.metrics.counter("est_bytes").add(mo.capacity * width * factor)
                 p._metrics_out = None
             ns = dict(p.metrics.items())
             el = ns.get("elapsed_ns"); rows = ns.get("output_rows")
@@ -66,6 +89,16 @@ def main():
             extra = []
             if el: extra.append(f"{el.value/1e6:.1f} ms")
             if rows: extra.append(f"{rows.value} rows")
+            b = ns.get("est_bytes")
+            if b and el and el.value:
+                # own time: the execute() timer includes children
+                kids_ns = sum(
+                    (dict(c.metrics.items()).get("elapsed_ns") or SQLMetricZero).value
+                    for c in p.children()
+                )
+                own = max(el.value - kids_ns, 1)
+                gbs = b.value / own  # bytes/ns == GB/s
+                extra.append(f"own {own/1e6:.1f} ms, {gbs:.2f} GB/s = {100*gbs/args.peak_gbs:.1f}% peak")
             print(f"{line}  [{', '.join(extra)}]")
             for c in p.children():
                 walk(c, d + 1)
