@@ -20,6 +20,8 @@ from __future__ import annotations
 import glob as _glob
 import os
 
+import numpy as np
+
 from ..columnar.ingest import arrow_to_table, arrow_type_to_dtype, dtype_to_arrow_type
 from ..columnar.table import Table
 from ..errors import DataFusionError
@@ -283,6 +285,7 @@ class ParquetTable(_FileTable):
                 groups.append((p, i))
                 metas.append(md.row_group(i))
         stats = ContainerStats(len(groups))
+        stats.num_rows = np.asarray([rg.num_rows for rg in metas], dtype=object)
         for ci, f in enumerate(self._schema.fields):
             mins, maxs, ncs, known = [], [], [], []
             for rg in metas:

@@ -474,7 +474,9 @@ def join_build_sort(build_hash: jnp.ndarray, nrows_build: jnp.ndarray):
     carrying the row index, no gather."""
     cap = build_hash.shape[0]
     alive = jnp.arange(cap) < nrows_build
-    h = jnp.where(alive, build_hash, jnp.iinfo(build_hash.dtype).max)
+    h = jnp.where(
+        alive, build_hash, jnp.asarray(jnp.iinfo(build_hash.dtype).max, build_hash.dtype)
+    )
     (h_s,), (order,) = cosort((h,), (jnp.arange(cap, dtype=jnp.int32),))
     return h_s, order
 

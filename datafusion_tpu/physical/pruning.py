@@ -39,6 +39,7 @@ class ContainerStats:
         self.max: dict[str, np.ndarray] = {}
         self.null_count: dict[str, np.ndarray] = {}
         self.known: dict[str, np.ndarray] = {}  # stats present per container
+        self.num_rows: np.ndarray | None = None  # rows per container
 
     def set_column(self, name: str, mins, maxs, null_counts, known):
         self.min[name] = np.asarray(mins, dtype=object)
@@ -142,7 +143,19 @@ def _may_match(e: Expr, stats: ContainerStats) -> np.ndarray:
                 out[i] = _cmp(op, lo, lit)
             elif op in (">", ">="):
                 out[i] = _cmp(op, hi, lit)
-            # != and others: cannot prune
+            elif op in ("!=", "<>"):
+                # prunable only for single-valued containers (min==max==lit,
+                # pruning.rs NotEq rewrite)
+                if lo == hi and not _cmp("<", lo, lit) and not _cmp("<", lit, lo):
+                    out[i] = False
+            elif op == "like" and isinstance(lit, str):
+                pre = _like_prefix(lit)
+                if pre and isinstance(lo, str) and isinstance(hi, str):
+                    # rows matching 'pre%' live in [pre, next(pre));
+                    # container range [lo, hi] must overlap it
+                    out[i] = hi >= pre and (
+                        _next_prefix(pre) is None or lo < _next_prefix(pre)
+                    )
         return out
     if isinstance(e, Between) and not e.negated:
         lo_ = BinaryExpr(e.expr, ">=", e.low)
@@ -167,9 +180,84 @@ def _may_match(e: Expr, stats: ContainerStats) -> np.ndarray:
                 out[i] = nc[i] > 0
         return out
     if isinstance(e, IsNotNull):
-        # cannot prove all-null without row counts per group; keep
-        return _all_true(n)
+        col = _col_name(e.expr)
+        if col is None or col not in stats.null_count or stats.num_rows is None:
+            return _all_true(n)
+        nc = stats.null_count[col]
+        out = _all_true(n)
+        for i in range(n):
+            if (
+                stats.known[col][i]
+                and nc[i] is not None
+                and stats.num_rows[i] is not None
+                and nc[i] >= stats.num_rows[i]
+            ):
+                out[i] = False  # all-null container: IS NOT NULL matches none
+        return out
     if isinstance(e, Not):
-        # !(provably-false) gives no information the other way; keep
+        # push the negation into shapes we can evaluate (pruning.rs
+        # rewrites via negated operators); anything else keeps the container
+        inner = e.expr
+        if isinstance(inner, IsNull):
+            return _may_match(IsNotNull(inner.expr), stats)
+        if isinstance(inner, IsNotNull):
+            return _may_match(IsNull(inner.expr), stats)
+        if isinstance(inner, BinaryExpr) and inner.op in _NEG_OP:
+            return _may_match(
+                BinaryExpr(inner.left, _NEG_OP[inner.op], inner.right), stats
+            )
+        if isinstance(inner, Between):
+            return _may_match(
+                Between(inner.expr, not inner.negated, inner.low, inner.high),
+                stats,
+            )
         return _all_true(n)
+    if isinstance(e, Between) and e.negated:
+        lo_ = BinaryExpr(e.expr, "<", e.low)
+        hi_ = BinaryExpr(e.expr, ">", e.high)
+        return _may_match(lo_, stats) | _may_match(hi_, stats)
+    if isinstance(e, InList) and e.negated:
+        # prunable only when the container is single-valued and that value
+        # is in the list
+        col = _col_name(e.expr)
+        items = [_lit_value(x) for x in e.list_]
+        if col is None or col not in stats.min or any(v is None for v in items):
+            return _all_true(n)
+        mn, mx, known = stats.min[col], stats.max[col], stats.known[col]
+        out = _all_true(n)
+        for i in range(n):
+            if known[i] and mn[i] is not None and mn[i] == mx[i] and mn[i] in items:
+                out[i] = False
+        return out
     return _all_true(n)
+
+
+_NEG_OP = {"=": "!=", "!=": "=", "<>": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+
+
+def _like_prefix(pattern: str) -> str | None:
+    """Literal prefix of a LIKE pattern up to the first wildcard; None when
+    the pattern starts with a wildcard (no prunable prefix)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch in "%_":
+            break
+        if ch == "\\" and i + 1 < len(pattern):
+            i += 1
+            ch = pattern[i]
+        out.append(ch)
+        i += 1
+    return "".join(out) or None
+
+
+def _next_prefix(pre: str) -> str | None:
+    """Smallest string greater than every string with prefix `pre`."""
+    b = list(pre)
+    while b:
+        c = b[-1]
+        if ord(c) < 0x10FFFF:
+            return "".join(b[:-1]) + chr(ord(c) + 1)
+        b.pop()
+    return None

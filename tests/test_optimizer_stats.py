@@ -170,3 +170,55 @@ def test_pruning_unknown_stats_keeps_all():
     stats = ContainerStats(3)  # no column stats at all
     f = BinaryExpr(Column("a"), "<", Literal(ScalarValue.int64(0)))
     assert PruningPredicate([f]).prune(stats).tolist() == [True, True, True]
+
+
+def test_pruning_extended_operators(parquet_file):
+    """!=, NOT-pushdown, LIKE-prefix, NOT BETWEEN, NOT IN, IS NOT NULL over
+    all-null groups (pruning.rs NotEq/StartsWith/negation rewrites)."""
+    from datafusion_tpu.logical.expr import (
+        Between,
+        BinaryExpr,
+        Column,
+        InList,
+        IsNotNull,
+        Literal,
+        Not,
+    )
+    from datafusion_tpu.physical.pruning import ContainerStats, PruningPredicate
+    from datafusion_tpu.types import ScalarValue
+
+    ctx = ExecutionContext()
+    ctx.register_parquet("t", parquet_file)
+    stats, _ = ctx._resolve_table("t")._row_group_stats()
+
+    # LIKE 'v2%' can only match the third group (s = 'v0'..'v3' per group)
+    like = BinaryExpr(Column("s"), "like", Literal(ScalarValue.utf8("v2%")))
+    assert PruningPredicate([like]).prune(stats).tolist() == [False, False, True, False]
+    # leading wildcard: no prefix, keeps everything
+    like2 = BinaryExpr(Column("s"), "like", Literal(ScalarValue.utf8("%2")))
+    assert PruningPredicate([like2]).prune(stats).all()
+
+    # != over single-valued groups (s is constant per group)
+    ne = BinaryExpr(Column("s"), "!=", Literal(ScalarValue.utf8("v1")))
+    assert PruningPredicate([ne]).prune(stats).tolist() == [True, False, True, True]
+    # NOT (s = 'v1') behaves the same
+    not_eq = Not(BinaryExpr(Column("s"), "=", Literal(ScalarValue.utf8("v1"))))
+    assert PruningPredicate([not_eq]).prune(stats).tolist() == [True, False, True, True]
+
+    # NOT BETWEEN 100 AND 399 keeps only the first group
+    nb = Between(Column("a"), True, Literal(ScalarValue.int64(100)), Literal(ScalarValue.int64(399)))
+    assert PruningPredicate([nb]).prune(stats).tolist() == [True, False, False, False]
+
+    # NOT IN ('v0','v3') prunes the single-valued groups holding them
+    ni = InList(
+        Column("s"),
+        [Literal(ScalarValue.utf8("v0")), Literal(ScalarValue.utf8("v3"))],
+        True,
+    )
+    assert PruningPredicate([ni]).prune(stats).tolist() == [False, True, True, False]
+
+    # IS NOT NULL prunes an all-null container (synthetic stats)
+    cs = ContainerStats(2)
+    cs.num_rows = __import__("numpy").asarray([10, 10], dtype=object)
+    cs.set_column("x", [None, 1], [None, 5], [10, 0], [True, True])
+    assert PruningPredicate([IsNotNull(Column("x"))]).prune(cs).tolist() == [False, True]
