@@ -36,7 +36,21 @@ from ..exprs.physical import PhysicalExpr, harmonize_strings
 from ..ops import kernels as K
 from ..ops.aggregate import PhysAggExpr, _eval_aggregate, _group_rows, _merge_aggregate, _segment_first_index
 from .mesh import AXIS, ShardedTable
-from .shuffle import local_alive, shuffle_by_hash
+from .shuffle import local_alive, shuffle_by_hash, shuffle_split
+
+
+def _pay_at(pd, pv, pmap, idx):
+    """Materialize payload rows at compacted row indices ``idx``.
+    pmap=None means payloads are already in compacted order (skew path)."""
+    m = idx if pmap is None else pmap[idx]
+    return [K.gather64(d, m) for d in pd], [v[m] for v in pv]
+
+
+def _pay_full(pd, pv, pmap):
+    """Payload columns in compacted order over the full capacity."""
+    if pmap is None:
+        return list(pd), list(pv)
+    return [K.gather64(d, pmap) for d in pd], [v[pmap] for v in pv]
 
 
 def _local_view(st: ShardedTable, datas, valids) -> Table:
@@ -417,16 +431,26 @@ def dist_join(
             [c.valid for c in rkeys],
         )
 
-        # shuffle rows AND their key columns together
-        lpack_d = ld + [c.data for c in lkeys]
-        lpack_v = lv + [c.valid for c in lkeys]
-        rpack_d = rd + [c.data for c in rkeys]
-        rpack_v = rv + [c.valid for c in rkeys]
         if not skew:
-            sl_d, sl_v, lnew, _ = shuffle_by_hash(lpack_d, lpack_v, lnrows, lhash, ndev, Bl)
-            sr_d, sr_v, rnew, _ = shuffle_by_hash(rpack_d, rpack_v, rnrows, rhash, ndev, Br)
+            # split shuffle: keys ride the co-sorts, payloads take the
+            # late-materialized gather -> all_to_all path whose collectives
+            # overlap the probe compute below (double-buffered exchange)
+            lkd, lkv, lmap, lnew, _, lpd, lpv = shuffle_split(
+                [c.data for c in lkeys], [c.valid for c in lkeys],
+                ld, lv, lnrows, lhash, ndev, Bl,
+            )
+            rkd, rkv, rmap, rnew, _, rpd, rpv = shuffle_split(
+                [c.data for c in rkeys], [c.valid for c in rkeys],
+                rd, rv, rnrows, rhash, ndev, Br,
+            )
             hot_build_n = None
         else:
+            # skew path shuffles payloads and keys together (hot-row
+            # regions need every column in compacted order up front)
+            lpack_d = ld + [c.data for c in lkeys]
+            lpack_v = lv + [c.valid for c in lkeys]
+            rpack_d = rd + [c.data for c in rkeys]
+            rpack_v = rv + [c.valid for c in rkeys]
             from .shuffle import shuffle_by_dest
 
             lc0, rc0 = left.shard_cap, right.shard_cap
@@ -494,11 +518,10 @@ def dist_join(
             sr_d, sr_v = list(sr_dt), list(sr_vt)
             rnew = rcnt.reshape(1).astype(jnp.int64)
             hot_build_n = jnp.sum(g_counts)  # H: same value on every shard
-
-        lkd = sl_d[nl:]
-        lkv = sl_v[nl:]
-        rkd = sr_d[nr:]
-        rkv = sr_v[nr:]
+            lkd, lkv = sl_d[nl:], sl_v[nl:]
+            rkd, rkv = sr_d[nr:], sr_v[nr:]
+            lpd, lpv, lmap = sl_d[:nl], sl_v[:nl], None
+            rpd, rpv, rmap = sr_d[:nr], sr_v[:nr], None
         lord = [
             K.orderable_key(d, c.dtype) for d, c in zip(lkd, lkeys)
         ]
@@ -526,12 +549,14 @@ def dist_join(
         if filter is not None:
             pi32 = probe_idx.astype(jnp.int32)
             bi32 = build_idx.astype(jnp.int32)
+            fl_d, fl_v = _pay_at(lpd, lpv, lmap, pi32)
+            fr_d, fr_v = _pay_at(rpd, rpv, rmap, bi32)
             pair_cols = [
-                Column(dt, K.gather64(d, pi32), v[pi32], dic)
-                for dt, dic, d, v in zip(left.dtypes, left.dicts, sl_d[:nl], sl_v[:nl])
+                Column(dt, d, v, dic)
+                for dt, dic, d, v in zip(left.dtypes, left.dicts, fl_d, fl_v)
             ] + [
-                Column(dt, K.gather64(d, bi32), v[bi32], dic)
-                for dt, dic, d, v in zip(right.dtypes, right.dicts, sr_d[:nr], sr_v[:nr])
+                Column(dt, d, v, dic)
+                for dt, dic, d, v in zip(right.dtypes, right.dicts, fr_d, fr_v)
             ]
             pair_t = Table(list(left.names) + list(right.names), pair_cols, 0)
             fres = filter.evaluate(pair_t)
@@ -545,9 +570,13 @@ def dist_join(
         if join_type in ("semi", "anti"):
             matched = _any_match_per_probe(counts, ok, pair_cap)
             keep = (matched if join_type == "semi" else ~matched) & l_alive
-            out_d, out_v, cnt = K.filter_compact(
-                tuple(sl_d[:nl]), tuple(sl_v[:nl]), keep, lnew[0]
-            )
+            # compact ONLY the payload-map column, then late-materialize:
+            # the compaction sort carries one int32 instead of nl columns
+            mpos = lmap if lmap is not None else jnp.arange(lcap2, dtype=jnp.int32)
+            (mpos_c,), _, cnt = K.filter_compact((mpos,), (), keep, lnew[0])
+            live = jnp.arange(lcap2) < cnt
+            out_d = [K.gather64(d, mpos_c) for d in lpd]
+            out_v = [v[mpos_c] & live for v in lpv]
             return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, *out_d, *out_v)
 
         # matched pairs, compacted by one co-sort of the index pairs
@@ -557,33 +586,30 @@ def dist_join(
         pc32 = pc.astype(jnp.int32)
         bc32 = bc.astype(jnp.int32)
 
+        pl_d, pl_v = _pay_at(lpd, lpv, lmap, pc32)
+        pr_d, pr_v = _pay_at(rpd, rpv, rmap, bc32)
         if join_type == "inner":
-            outs_d = [K.gather64(d, pc32) for d in sl_d[:nl]] + [
-                K.gather64(d, bc32) for d in sr_d[:nr]
-            ]
-            outs_v = [v[pc32] & pair_live for v in sl_v[:nl]] + [
-                v[bc32] & pair_live for v in sr_v[:nr]
-            ]
+            outs_d = pl_d + pr_d
+            outs_v = [v & pair_live for v in pl_v] + [v & pair_live for v in pr_v]
             return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, *outs_d, *outs_v)
 
         # left / right / full outer: matched pairs ++ unmatched side rows
         # padded with nulls, squeezed by ONE compaction co-sort — the same
         # derivation as single-device phase_b (ops/join.py), valid per
         # shard because hash partitioning co-locates all matches of a key
-        col_d = [[K.gather64(d, pc32)] for d in sl_d[:nl]] + [
-            [K.gather64(d, bc32)] for d in sr_d[:nr]
-        ]
-        col_v = [[v[pc32] & pair_live] for v in sl_v[:nl]] + [
-            [v[bc32] & pair_live] for v in sr_v[:nr]
+        col_d = [[d] for d in pl_d] + [[d] for d in pr_d]
+        col_v = [[v & pair_live] for v in pl_v] + [
+            [v & pair_live] for v in pr_v
         ]
         alive_segs = [pair_live]
         if join_type in ("left", "full"):
             match_probe = _any_match_per_probe(counts, ok, pair_cap)
             lw = l_alive & ~match_probe
-            for i, d in enumerate(sl_d[:nl]):
+            lf_d, lf_v = _pay_full(lpd, lpv, lmap)
+            for i, d in enumerate(lf_d):
                 col_d[i].append(d)
-                col_v[i].append(sl_v[i] & lw)
-            for j, d in enumerate(sr_d[:nr]):
+                col_v[i].append(lf_v[i] & lw)
+            for j, d in enumerate(pr_d):
                 col_d[nl + j].append(jnp.zeros(lcap2, d.dtype))
                 col_v[nl + j].append(jnp.zeros(lcap2, bool))
             alive_segs.append(lw)
@@ -604,12 +630,13 @@ def dist_join(
                 me = jax.lax.axis_index(AXIS)
                 r_alive = r_alive & (~in_hot | (me == 0))
             rw = r_alive & ~visited
-            for i, d in enumerate(sl_d[:nl]):
+            rf_d, rf_v = _pay_full(rpd, rpv, rmap)
+            for i, d in enumerate(pl_d):
                 col_d[i].append(jnp.zeros(rcap2, d.dtype))
                 col_v[i].append(jnp.zeros(rcap2, bool))
-            for j, d in enumerate(sr_d[:nr]):
+            for j, d in enumerate(rf_d):
                 col_d[nl + j].append(d)
-                col_v[nl + j].append(sr_v[j] & rw)
+                col_v[nl + j].append(rf_v[j] & rw)
             alive_segs.append(rw)
         alive_all = jnp.concatenate(alive_segs)
         datas_all = tuple(jnp.concatenate(s) for s in col_d)

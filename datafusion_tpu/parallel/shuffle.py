@@ -117,3 +117,108 @@ def shuffle_by_dest(
     out_datas = list(moved[: len(out_datas)])
     out_valids = [v & live for v in moved[len(out_datas):]]
     return out_datas, out_valids, new_n.reshape(1).astype(jnp.int64), overflow
+
+
+def shuffle_split(
+    key_datas: list[jnp.ndarray],
+    key_valids: list[jnp.ndarray],
+    pay_datas: list[jnp.ndarray],
+    pay_valids: list[jnp.ndarray],
+    nrows_local: jnp.ndarray,
+    key_hash: jnp.ndarray,
+    ndev: int,
+    bucket_cap: int,
+):
+    """Late-materialization split shuffle: key columns ride the two co-sorts
+    (dest layout + receive compaction) exactly as in shuffle_by_dest, while
+    PAYLOAD columns take a pure gather -> all_to_all path and arrive
+    UNCOMPACTED.  A receive-slot index column rides the key compaction, so
+    callers materialize payload rows later with one gather per column
+    (``pay_recv_d[k][pos2[i]]``).
+
+    This is the double-buffered exchange of SURVEY §2.8's pipeline mapping:
+    the payload all_to_alls have no data dependency on anything the caller
+    computes from the keys, so XLA's latency-hiding scheduler (async
+    collectives on real ICI) overlaps the payload transfer with the probe/
+    build compute that consumes only keys.  It is also strictly less work —
+    payloads no longer ride two variadic sorts per shuffle (bench/micro.py
+    ``exchange_overlap`` measures the overlap itself).
+
+    Returns (key_datas', key_valids', pos2, new_n, overflow,
+    pay_recv_d, pay_recv_v):
+
+    - key outputs compacted to the front, capacity ndev * bucket_cap
+    - pos2: int32 [ndev*bucket_cap]; compacted row i's payload lives at
+      receive slot pos2[i] (garbage for i >= new_n)
+    - pay_recv_d / pay_recv_v: uncompacted receive buffers; valids are
+      dead-slot-masked, so a gather through pos2 of a live compacted row is
+      always safe.
+    """
+    cap = key_hash.shape[0]
+    alive = local_alive(cap, nrows_local)
+    dest = (key_hash % jnp.uint64(ndev)).astype(jnp.int32)
+    dest = jnp.where(alive, dest, ndev)
+
+    onehot = jax.nn.one_hot(dest, ndev + 1, dtype=jnp.int32)
+    counts = jnp.sum(onehot, axis=0)[:ndev]
+    starts = jnp.cumsum(counts) - counts
+
+    # dest-sort carrying key columns + the original row position
+    pos0 = jnp.arange(cap, dtype=jnp.int32)
+    _, moved = K.cosort(
+        (dest,), tuple(key_datas) + tuple(key_valids) + (pos0,)
+    )
+    nk = len(key_datas)
+    sorted_kd = moved[:nk]
+    sorted_kv = moved[nk : 2 * nk]
+    sorted_pos = moved[2 * nk]
+
+    overflow = jnp.maximum(jnp.max(counts) - bucket_cap, 0)
+
+    p = jnp.arange(ndev * bucket_cap)
+    s = (p // bucket_cap).astype(jnp.int32)
+    k = (p % bucket_cap).astype(jnp.int32)
+    src_idx = jnp.clip(starts[s] + k, 0, cap - 1).astype(jnp.int32)
+    slot_live = k < jnp.minimum(counts[s], bucket_cap)
+
+    recv_counts = jax.lax.all_to_all(
+        jnp.minimum(counts, bucket_cap).reshape(ndev, 1), AXIS, split_axis=0, concat_axis=0
+    ).reshape(ndev)
+
+    def exchange(send):
+        return jax.lax.all_to_all(
+            send.reshape(ndev, bucket_cap), AXIS, split_axis=0, concat_axis=0
+        ).reshape(-1)
+
+    key_recv_d = [exchange(K.gather64(d, src_idx)) for d in sorted_kd]
+    key_recv_v = [exchange(v[src_idx] & slot_live) for v in sorted_kv]
+
+    # payload path: composite send gather (original row -> send slot), one
+    # all_to_all, NO compaction — pos2 below translates compacted key rows
+    # to receive slots
+    pay_send_idx = sorted_pos[src_idx]
+    pay_recv_d = [exchange(K.gather64(d, pay_send_idx)) for d in pay_datas]
+    pay_recv_v = [exchange(v[pay_send_idx] & slot_live) for v in pay_valids]
+
+    # receive compaction of keys, carrying the receive-slot index
+    rowpos = jnp.arange(ndev * bucket_cap)
+    src = rowpos // bucket_cap
+    within = rowpos % bucket_cap
+    keep = within < recv_counts[src]
+    new_n = jnp.sum(recv_counts)
+    live = rowpos < new_n
+    _, moved2 = K.cosort(
+        (~keep,), tuple(key_recv_d) + tuple(key_recv_v) + (rowpos.astype(jnp.int32),)
+    )
+    out_kd = list(moved2[:nk])
+    out_kv = [v & live for v in moved2[nk : 2 * nk]]
+    pos2 = moved2[2 * nk]
+    return (
+        out_kd,
+        out_kv,
+        pos2,
+        new_n.reshape(1).astype(jnp.int64),
+        overflow,
+        pay_recv_d,
+        pay_recv_v,
+    )

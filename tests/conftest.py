@@ -15,5 +15,22 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    Every XLA:CPU executable keeps several live memory mappings for its
+    JIT'd code; a full-suite run compiles thousands of programs and a
+    single pytest process crosses the kernel's default vm.max_map_count
+    (65530), at which point LLVM's next mmap fails and the process
+    segfaults inside backend_compile_and_load.  Dropping the executable
+    caches per module bounds the live-mapping count; modules recompile
+    their own programs anyway, so the wall-clock cost is small.
+    """
+    yield
+    jax.clear_caches()
