@@ -63,11 +63,18 @@ def main():
             for c in p.children():
                 zero(c)
         zero(phys)
+        from datafusion_tpu.columnar.table import HOST_SYNCS
+
+        s0 = HOST_SYNCS[0]
         t0 = time.perf_counter()
         out = phys.execute()
         _ = np.asarray(out.columns[-1].data[:1])
         warm = time.perf_counter() - t0
-        print(f"\n=== q{q}: cold {cold*1e3:.1f} ms, warm {warm*1e3:.1f} ms ===")
+        syncs = HOST_SYNCS[0] - s0
+        print(
+            f"\n=== q{q}: cold {cold*1e3:.1f} ms, warm {warm*1e3:.1f} ms, "
+            f"{syncs} row-count syncs (~28 ms each on TPU) ==="
+        )
         # per-op: walk the tree, print elapsed per node (not aggregated by type)
         def walk(p, d=0):
             mo = getattr(p, "_metrics_out", None)

@@ -26,6 +26,11 @@ from ..types.dtypes import DataType
 from .column import Column
 from .dictionary import StringDict
 
+# D2H row-count sync counter (diagnostic): each lazy device count forced to a
+# host int costs one blocking round trip (~28 ms through the TPU tunnel).
+# bench/profile_q.py reports per-query totals from this.
+HOST_SYNCS = [0]
+
 
 def round_capacity(n: int) -> int:
     """Static buffer capacity for n rows: power of two, min 4096.
@@ -57,6 +62,7 @@ class Table:
     @property
     def nrows(self) -> int:
         if not isinstance(self._nrows, int):
+            HOST_SYNCS[0] += 1
             self._nrows = int(self._nrows)
         return self._nrows
 
