@@ -67,7 +67,36 @@ def _phone(rng, nation, n):
 
 
 def generate_tpch(sf: float = 0.01, seed: int = 42) -> dict[str, dict]:
-    """Returns {table_name: {column: np.ndarray}} (host columns)."""
+    """Returns {table_name: {column: np.ndarray}} (host columns).
+
+    SF >= 0.1 results are pickle-cached on disk (string-column synthesis is
+    Python-loop bound — minutes at SF1) so repeated bench/TPU runs pay
+    generation once per (sf, seed)."""
+    import os
+    import pickle
+
+    cache = None
+    if sf >= 0.1:
+        d = os.environ.get(
+            "DFTPH_DATA_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tpch_cache"),
+        )
+        cache = os.path.join(d, f"sf{sf:g}_seed{seed}.pkl")
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        os.makedirs(d, exist_ok=True)
+
+    out = _generate_tpch(sf, seed)
+    if cache:
+        tmp = cache + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(out, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, cache)
+    return out
+
+
+def _generate_tpch(sf: float, seed: int) -> dict[str, dict]:
     rng = np.random.default_rng(seed)
 
     n_part = max(int(200_000 * sf), 20)
