@@ -29,11 +29,17 @@ def main():
     ap.add_argument("--sf", type=float, default=0.1)
     ap.add_argument("--queries", type=str, default="3,5,18")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--block", action="store_true",
+                    help="drain the device after every operator so per-op "
+                         "elapsed is DEVICE time, not dispatch time")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
                     help="HBM speed-of-light for the roofline %% (v5e: 819)")
     args = ap.parse_args()
     if args.cpu:
         import jax; jax.config.update("jax_platforms", "cpu")
+    if args.block:
+        from datafusion_tpu.ops import base as _base
+        _base.PROFILE_BLOCKING = True
 
     from datafusion_tpu import ExecutionContext
     from datafusion_tpu.ops.base import collect_plan_metrics
@@ -80,6 +86,7 @@ def main():
             mo = getattr(p, "_metrics_out", None)
             if mo is not None:
                 p.metrics.counter("output_rows").add(mo.nrows)
+                p.metrics.counter("output_capacity").add(mo.capacity)
                 width = sum(
                     c.data.dtype.itemsize + 1 for c in mo.columns
                 )
@@ -96,6 +103,8 @@ def main():
             extra = []
             if el: extra.append(f"{el.value/1e6:.1f} ms")
             if rows: extra.append(f"{rows.value} rows")
+            cap = ns.get("output_capacity")
+            if cap: extra.append(f"cap {cap.value}")
             b = ns.get("est_bytes")
             if b and el and el.value:
                 # own time: the execute() timer includes children

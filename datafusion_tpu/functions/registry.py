@@ -432,6 +432,27 @@ def dispatch_scalar(
         from ..exprs.physical import cast_column
 
         return cast_column(c, TIMESTAMP_US)
+    if n == "convert_tz":
+        # fork cube_ext semantics (datetime_expressions.rs:51-113):
+        # shift '+HH:MM' applied as (hour*60 + signum(hour)*minute) minutes
+        c, sh = args[0], args[1]
+
+        def _shift_us(s: str) -> int:
+            hm = str(s).split(":")
+            if len(hm) != 2:
+                raise PlanError(f"Can't parse timezone shift '{s}'")
+            try:
+                h, m = int(hm[0]), int(hm[1])
+            except ValueError:
+                raise PlanError(f"Can't parse timezone shift '{s}'")
+            sig = 1 if h > 0 else (-1 if h < 0 else 0)
+            return (h * 60 + sig * m) * 60 * 1_000_000
+
+        if _is_literal(sh):
+            off = _shift_us(_as_host_scalar(sh, n, "shift"))
+            return CVec(TIMESTAMP_US, c.data + jnp.int64(off), c.valid & sh.valid)
+        lut = _string_map(sh, _shift_us, INT64)
+        return CVec(TIMESTAMP_US, c.data + lut.data, c.valid & sh.valid)
     if n == "now":
         import time
 

@@ -17,8 +17,15 @@ import threading
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..columnar.table import Table
 from ..types import Schema
+
+# Per-operator device drain for truthful device-time attribution in the
+# profiler (bench/profile_q --block sets this).  Off in production: it
+# serializes dispatch with compute and adds one D2H per column per op.
+PROFILE_BLOCKING = False
 
 
 @dataclass
@@ -92,6 +99,15 @@ class ExecutionPlan:
         try:
             t0 = time.perf_counter_ns()
             out = self._execute()
+            if PROFILE_BLOCKING:
+                # attribute DEVICE time to this operator: async dispatch
+                # makes host-side elapsed meaningless, so profiling mode
+                # drains the device after every operator (distorts
+                # end-to-end wall-clock; enabled only by bench/profile_q).
+                # tiny D2H per column, not block_until_ready: the remote-TPU
+                # tunnel only synchronizes on a real transfer
+                for c in out.columns:
+                    np.asarray(c.data[0:1])
             self.metrics.timer("elapsed_ns").add(time.perf_counter_ns() - t0)
         finally:
             st.depth = depth
