@@ -211,10 +211,12 @@ class WindowAggExec(ExecutionPlan):
 
         if f in ("lag", "lead"):
             v = w.args[0].evaluate(t)
-            offset = 1
+            # offset stays a device scalar: under whole-stage fusion the
+            # planner materializes args as columns of the (traced) sorted
+            # table, so forcing a host int here would break tracing
+            offset = jnp.int64(1)
             if len(w.args) > 1:
-                from .aggregate import _to_float  # noqa
-                offset = int(np.asarray(w.args[1].evaluate(t).data[0]))
+                offset = w.args[1].evaluate(t).data[0].astype(jnp.int64)
             shift = -offset if f == "lag" else offset
             src = ar + shift
             in_bounds = (src >= 0) & (src < cap)
@@ -232,7 +234,9 @@ class WindowAggExec(ExecutionPlan):
             elif f == "last_value":
                 src = seg_start[gid] + seg_size - 1
             else:
-                n = int(np.asarray(w.args[1].evaluate(t).data[0]))
+                # device scalar for the same fused-stage tracing reason as
+                # the lag/lead offset above
+                n = w.args[1].evaluate(t).data[0].astype(jnp.int64)
                 src = seg_start[gid] + (n - 1)
             src_c = jnp.clip(src, 0, cap - 1)
             ok = alive & (src >= seg_start[gid]) & (src < seg_start[gid] + seg_size)

@@ -19,6 +19,10 @@ Strategy per node:
 - Sort [+ fetch]             dist_sort: sample-based range partition +
                              all_to_all + local sort (TeraSort-style; the
                              reference coalesces to 1 partition instead)
+- WindowAgg (PARTITION BY)   dist_window: all_to_all by partition-key hash
+                             (whole partitions co-locate), local traced
+                             window per shard; no-PARTITION BY windows fall
+                             back (need a total order)
 - Union                      shard-wise concatenation
 - everything else            gather -> single-device operator -> re-shard
                              (the reference's CoalescePartitionsExec
@@ -48,6 +52,7 @@ from ..ops.basic import (
 )
 from ..ops.join import HashJoinExec
 from ..ops.sort import SortExec
+from ..ops.window import WindowAggExec
 from .mesh import ShardedTable, make_mesh
 from .ops import dist_aggregate, dist_filter, dist_join, dist_project, dist_sort
 
@@ -123,6 +128,12 @@ class SpmdExecutor:
                     Table(t.names, t.columns, min(plan.fetch, t.nrows)), self.mesh
                 )
             return out
+        if isinstance(plan, WindowAggExec):
+            st = self._exec(plan.input)
+            out = self._dist_window_retry(st, plan.window_exprs)
+            if out is not None:
+                return out
+            return self._fallback(plan, [st])
         if isinstance(plan, UnionExec):
             parts = [self._exec(c) for c in plan.children()]
             gathered = [
@@ -140,6 +151,27 @@ class SpmdExecutor:
         return self._fallback(plan, [self._exec(c) for c in plan.children()])
 
     # ------------------------------------------------------------------
+    def _dist_window_retry(self, st: ShardedTable, window_exprs):
+        """Partition-hash placement can overflow a shard's receive bucket
+        under hot partitions; right-size one retry, else fall back."""
+        from .ops import dist_window
+
+        try:
+            out, ovf = dist_window(st, window_exprs)
+        except Exception:
+            return None
+        if ovf > 0:
+            try:
+                out, ovf = dist_window(
+                    st, window_exprs,
+                    bucket_cap=round_capacity(st.shard_cap + ovf),
+                )
+            except Exception:
+                return None
+            if ovf > 0:
+                return None
+        return out.shrink()
+
     def _dist_sort_retry(self, st: ShardedTable, sort_exprs):
         """Range partitioning can exceed the per-shard bucket under skew;
         right-size one retry from the reported overflow."""

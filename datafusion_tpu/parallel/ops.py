@@ -818,3 +818,104 @@ def dist_sort(st: ShardedTable, sort_exprs, bucket_cap: int | None = None):
         new_cap,
     )
     return st2, int(jnp.max(overflow))
+
+
+# ---------------------------------------------------------------------------
+# window functions on the mesh
+# ---------------------------------------------------------------------------
+
+
+def dist_window(st: ShardedTable, window_exprs, bucket_cap: int | None = None):
+    """Partitioned window functions over the mesh: all_to_all rows by
+    PARTITION BY key hash (whole partitions land on one shard), then the
+    single-device traced window body (sort + segment scans, ops/window.py)
+    runs per shard inside the same SPMD program.
+
+    The reference evaluates windows per lexicographic partition range on a
+    single partition stream (windows/window_agg_exec.rs:42); partition-hash
+    placement is the distribution-preserving equivalent.  Windows without
+    PARTITION BY need a total order — callers fall back to single device.
+
+    Returns (ShardedTable, overflow): overflow > 0 means a shard's receive
+    bucket was too small (hot partition) — retry with a bigger bucket_cap.
+    Output rows are in (partition, order) sorted order WITHIN each shard;
+    cross-shard row order is hash order, not global sort order.
+    """
+    from ..ops.window import WindowAggExec
+
+    w0 = window_exprs[0]
+    if not w0.partition_by:
+        raise ExecutionError(
+            "dist_window: window without PARTITION BY requires a total order"
+        )
+    ndev = st.ndev
+    ncols = len(st.datas)
+    cap = st.shard_cap
+    B = bucket_cap or cap
+    fcap = ndev * B
+    op = WindowAggExec(list(window_exprs), None)
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        t = _local_view(st, datas, valids)
+        pcols = [p.evaluate(t) for p in w0.partition_by]
+        phash = K.hash_columns(
+            [K.hashable_key(c.data, c.dtype) for c in pcols],
+            [c.valid for c in pcols],
+        )
+        sh_d, sh_v, new_n, ovf = shuffle_by_hash(
+            datas, valids, nrows, phash, ndev, B
+        )
+        cols2 = [
+            Column(dt, d, v, dic)
+            for dt, dic, d, v in zip(st.dtypes, st.dicts, sh_d, sh_v)
+        ]
+        t2 = Table(list(st.names), cols2, 0)
+        _, out_cols = op._traced_window(t2, new_n[0], fcap)
+        return (
+            new_n,
+            jnp.asarray(ovf).reshape(1).astype(jnp.int64),
+            *[c.data for c in out_cols],
+            *[c.valid for c in out_cols],
+        )
+
+    k = ncols + len(window_exprs)
+    fn = _shard_map(
+        st.mesh,
+        body,
+        in_specs=_specs(1 + 2 * ncols),
+        out_specs=_specs(2 + 2 * k),
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    nrows, overflow, rest = out[0], out[1], out[2:]
+    out_names = list(st.names) + [w.name for w in window_exprs]
+    out_dtypes = list(st.dtypes) + [w.dtype for w in window_exprs]
+    out_dicts = list(st.dicts) + [_win_dict(w, st) for w in window_exprs]
+    st2 = ShardedTable(
+        out_names,
+        out_dtypes,
+        out_dicts,
+        list(rest[:k]),
+        list(rest[k:]),
+        nrows,
+        st.mesh,
+        fcap,
+    )
+    return st2, int(jnp.max(overflow))
+
+
+def _win_dict(w, st: ShardedTable):
+    """Dictionary for a window output column: value-passing functions
+    (first/last/nth_value, lag/lead, min/max) re-emit their argument's
+    codes; everything else is numeric."""
+    if w.fun in (
+        "first_value", "last_value", "nth_value", "lag", "lead", "min", "max"
+    ) and w.args:
+        sample = _local_view(
+            st,
+            [jnp.zeros(1, d.dtype) for d in st.datas],
+            [jnp.zeros(1, bool) for _ in st.valids],
+        )
+        return w.args[0].evaluate(sample).dictionary
+    return None
