@@ -24,6 +24,8 @@ Strategy per node:
                              window per shard; no-PARTITION BY windows fall
                              back (need a total order)
 - Union                      shard-wise concatenation
+- GlobalLimit / Skip         prefix-count truncation per shard (one
+                             all_gather of counts; LIMIT moves no data)
 - everything else            gather -> single-device operator -> re-shard
                              (the reference's CoalescePartitionsExec
                              equivalent for single-partition-required ops)
@@ -144,7 +146,14 @@ class SpmdExecutor:
             )
         if isinstance(plan, (GlobalLimitExec, SkipExec)):
             st = self._exec(plan.children()[0])
-            return self._fallback(plan, [st])
+            try:
+                from .ops import dist_limit, dist_skip
+
+                if isinstance(plan, GlobalLimitExec):
+                    return dist_limit(st, plan.n)
+                return dist_skip(st, plan.n)
+            except Exception:
+                return self._fallback(plan, [st])
         if not plan.children():
             # leaf: scan executes on host/single device, then shards
             return ShardedTable.from_table(plan.execute(), self.mesh)

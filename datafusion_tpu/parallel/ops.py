@@ -919,3 +919,72 @@ def _win_dict(w, st: ShardedTable):
         )
         return w.args[0].evaluate(sample).dictionary
     return None
+
+
+# ---------------------------------------------------------------------------
+# LIMIT / OFFSET on the mesh
+# ---------------------------------------------------------------------------
+
+
+def dist_limit(st: ShardedTable, n: int) -> ShardedTable:
+    """Global LIMIT without moving a row: ShardedTable.to_table gathers in
+    shard order, so the first N global rows are each shard's prefix of
+    clip(N - rows_on_earlier_shards, 0, local_n).  One all_gather of the
+    counts, then every shard truncates its live count (rows stay
+    front-compacted; no data shuffle).  Matches GlobalLimitExec
+    (limit.rs:44) + the per-shard local-limit pushdown the distributed
+    planner applies on the DCN path."""
+    ncols = len(st.datas)
+    ndev = st.ndev
+
+    def body(nrows, *arrays):
+        counts = jax.lax.all_gather(nrows, AXIS).reshape(-1)
+        me = jax.lax.axis_index(AXIS)
+        before = jnp.sum(jnp.where(jnp.arange(ndev) < me, counts, 0))
+        keep = jnp.clip(jnp.int64(n) - before, 0, nrows[0])
+        return (keep.reshape(1).astype(jnp.int64), *arrays)
+
+    fn = _shard_map(
+        st.mesh, body, in_specs=_specs(1 + 2 * ncols), out_specs=_specs(1 + 2 * ncols)
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    return ShardedTable(
+        list(st.names), list(st.dtypes), list(st.dicts),
+        list(out[1 : 1 + ncols]), list(out[1 + ncols :]),
+        out[0], st.mesh, st.shard_cap,
+    )
+
+
+def dist_skip(st: ShardedTable, n: int) -> ShardedTable:
+    """Global OFFSET (fork skip.rs:41): shard i drops
+    clip(N - rows_on_earlier_shards, 0, local_n) rows from its front and
+    re-compacts with one co-sort (bench/MICRO.md rule 7)."""
+    ncols = len(st.datas)
+    ndev = st.ndev
+    cap = st.shard_cap
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        counts = jax.lax.all_gather(nrows, AXIS).reshape(-1)
+        me = jax.lax.axis_index(AXIS)
+        before = jnp.sum(jnp.where(jnp.arange(ndev) < me, counts, 0))
+        drop = jnp.clip(jnp.int64(n) - before, 0, nrows[0])
+        ar = jnp.arange(cap)
+        keep = (ar >= drop) & (ar < nrows[0])
+        cnt = nrows[0] - drop
+        _, moved = K.cosort((~keep,), tuple(datas) + tuple(valids))
+        live = ar < cnt
+        out_d = list(moved[:ncols])
+        out_v = [v & live for v in moved[ncols:]]
+        return (cnt.reshape(1).astype(jnp.int64), *out_d, *out_v)
+
+    fn = _shard_map(
+        st.mesh, body, in_specs=_specs(1 + 2 * ncols), out_specs=_specs(1 + 2 * ncols)
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    return ShardedTable(
+        list(st.names), list(st.dtypes), list(st.dicts),
+        list(out[1 : 1 + ncols]), list(out[1 + ncols :]),
+        out[0], st.mesh, st.shard_cap,
+    )

@@ -316,3 +316,32 @@ def test_dist_window_matches_local(q):
     local = ctx.sql(q).collect().to_pydict()
     spmd = ctx.sql(q).collect(mesh=make_mesh(8)).to_pydict()
     assert local == spmd
+
+
+def test_dist_limit_offset_matches_local():
+    """LIMIT/OFFSET on the mesh: per-shard prefix-count truncation
+    (dist_limit moves no data; dist_skip one co-sort) must reproduce the
+    single-device rows exactly — gather order is shard order, so shard
+    prefixes ARE the global prefix (limit.rs:44 / fork skip.rs:41)."""
+    from datafusion_tpu import ExecutionContext
+
+    ctx = ExecutionContext()
+    n = 500
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {"k": list(range(n)), "v": [float((i * 13) % 91) for i in range(n)]}
+        ),
+    )
+    mesh = make_mesh(8)
+    for q in [
+        "SELECT k FROM t ORDER BY v, k LIMIT 17",
+        "SELECT k FROM t ORDER BY v, k LIMIT 17 OFFSET 40",
+        "SELECT k FROM t WHERE v > 50 LIMIT 23",
+        "SELECT k FROM t LIMIT 9999",
+        "SELECT k, v FROM t ORDER BY v DESC, k OFFSET 495",
+    ]:
+        assert (
+            ctx.sql(q).collect().to_pydict()
+            == ctx.sql(q).collect(mesh=mesh).to_pydict()
+        ), q
