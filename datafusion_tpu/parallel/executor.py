@@ -97,6 +97,14 @@ class SpmdExecutor:
                 return self._fallback(plan, [st])
         if isinstance(plan, HashAggregateExec) and plan.mode == "single":
             st = self._exec(plan.input)
+            if any(a.distinct for a in plan.aggr_expr) and plan.group_expr:
+                # DISTINCT needs the global value set per group: hash-PLACE
+                # raw rows so each group lands whole on one shard, then the
+                # exact single-device aggregate runs per shard
+                out = self._dist_agg_exact_retry(st, plan)
+                if out is not None:
+                    return out
+                return self._fallback(plan, [st])
             try:
                 return dist_aggregate(st, plan.group_expr, plan.aggr_expr).shrink()
             except Exception:
@@ -160,6 +168,24 @@ class SpmdExecutor:
         return self._fallback(plan, [self._exec(c) for c in plan.children()])
 
     # ------------------------------------------------------------------
+    def _dist_agg_exact_retry(self, st: ShardedTable, plan):
+        from .ops import dist_aggregate_exact
+
+        try:
+            out, ovf = dist_aggregate_exact(st, plan)
+        except Exception:
+            return None
+        if ovf > 0:
+            try:
+                out, ovf = dist_aggregate_exact(
+                    st, plan, bucket_cap=round_capacity(st.shard_cap + ovf)
+                )
+            except Exception:
+                return None
+            if ovf > 0:
+                return None
+        return out.shrink()
+
     def _dist_window_retry(self, st: ShardedTable, window_exprs):
         """Partition-hash placement can overflow a shard's receive bucket
         under hot partitions; right-size one retry, else fall back."""

@@ -988,3 +988,89 @@ def dist_skip(st: ShardedTable, n: int) -> ShardedTable:
         list(out[1 : 1 + ncols]), list(out[1 + ncols :]),
         out[0], st.mesh, st.shard_cap,
     )
+
+
+def dist_aggregate_exact(
+    st: ShardedTable,
+    op,
+    bucket_cap: int | None = None,
+):
+    """Aggregate with group-hash PLACEMENT instead of partial states:
+    all_to_all raw rows by group-key hash (each group lands whole on one
+    shard), then the single-device traced aggregate runs per shard — so
+    semantics needing global sets per group (DISTINCT aggregates,
+    distinct_expressions.rs keeps the value set as state) are exact without
+    shipping set states.  Costs a full-row shuffle where dist_aggregate
+    ships one state row per group; used only when states don't merge.
+
+    ``op`` is the single-device HashAggregateExec (mode 'single').
+    Returns (ShardedTable, overflow) like dist_window.
+    """
+    from ..physical.stage_compiler import _traced_aggregate
+
+    group_expr, aggr_expr = op.group_expr, op.aggr_expr
+    if not group_expr:
+        raise ExecutionError(
+            "dist_aggregate_exact: no group keys — one shard would hold "
+            "every row; the executor's fallback gathers instead"
+        )
+    ndev = st.ndev
+    ncols = len(st.datas)
+    cap = st.shard_cap
+    B = bucket_cap or cap
+    fcap = ndev * B
+
+    out_names = [n for _, n in group_expr] + [a.name for a in aggr_expr]
+    out_dtypes = [e.dtype for e, _ in group_expr] + [
+        a.return_type() for a in aggr_expr
+    ]
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        t = _local_view(st, datas, valids)
+        kcols = [e.evaluate(t) for e, _ in group_expr]
+        khash = K.hash_columns(
+            [K.hashable_key(c.data, c.dtype) for c in kcols],
+            [c.valid for c in kcols],
+        )
+        sh_d, sh_v, new_n, ovf = shuffle_by_hash(
+            datas, valids, nrows, khash, ndev, B
+        )
+        cols2 = [
+            Column(dt, d, v, dic)
+            for dt, dic, d, v in zip(st.dtypes, st.dicts, sh_d, sh_v)
+        ]
+        t2 = Table(list(st.names), cols2, 0)
+        alive2 = jnp.arange(fcap) < new_n[0]
+        out_d, out_v, ngroups, _meta = _traced_aggregate(op, t2, alive2, fcap)
+        return (
+            jnp.asarray(ngroups).reshape(1).astype(jnp.int64),
+            jnp.asarray(ovf).reshape(1).astype(jnp.int64),
+            *out_d,
+            *out_v,
+        )
+
+    k = len(out_names)
+    fn = _shard_map(
+        st.mesh,
+        body,
+        in_specs=_specs(1 + 2 * ncols),
+        out_specs=_specs(2 + 2 * k),
+    )
+    out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    nrows, overflow, rest = out[0], out[1], out[2:]
+    dicts = list(_group_dicts(group_expr, st)) + [
+        _agg_dict(a, st) for a in aggr_expr
+    ]
+    st2 = ShardedTable(
+        out_names,
+        out_dtypes,
+        dicts,
+        list(rest[:k]),
+        list(rest[k:]),
+        nrows,
+        st.mesh,
+        fcap,
+    )
+    return st2, int(jnp.max(overflow))

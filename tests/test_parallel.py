@@ -345,3 +345,34 @@ def test_dist_limit_offset_matches_local():
             ctx.sql(q).collect().to_pydict()
             == ctx.sql(q).collect(mesh=mesh).to_pydict()
         ), q
+
+
+def test_dist_distinct_aggregate_matches_local():
+    """DISTINCT aggregates on the mesh: group-hash PLACEMENT of raw rows
+    (each group whole on one shard) + exact per-shard aggregate — the
+    set-state semantics of distinct_expressions.rs without shipping sets."""
+    from datafusion_tpu import ExecutionContext
+
+    ctx = ExecutionContext()
+    n = 400
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "g": [f"p{i % 7}" for i in range(n)],
+                "x": [i % 13 for i in range(n)],
+                "s": [f"s{i % 23}" for i in range(n)],
+            }
+        ),
+    )
+    mesh = make_mesh(8)
+    for q in [
+        "SELECT g, count(DISTINCT x) AS cd, sum(x) AS sx FROM t GROUP BY g ORDER BY g",
+        "SELECT g, count(DISTINCT s) AS cs, count(*) AS c FROM t GROUP BY g ORDER BY g",
+        "SELECT g, approx_distinct(x) AS ad FROM t GROUP BY g ORDER BY g",
+        "SELECT count(DISTINCT x) AS cd FROM t",
+    ]:
+        assert (
+            ctx.sql(q).collect().to_pydict()
+            == ctx.sql(q).collect(mesh=mesh).to_pydict()
+        ), q
