@@ -150,6 +150,51 @@ class FuseStages:
     def optimize(self, plan: ExecutionPlan) -> ExecutionPlan:
         return self._opt(plan, is_root=True)
 
+    def _try_morsel_join(self, plan: ExecutionPlan, is_root: bool):
+        """chain? -> HashJoin(host-chain -> HostMemoryExec, build): stream
+        probe morsels through the join against the HBM-resident build side
+        (MorselJoinStageExec).  Engages only for join types sound per
+        morsel: host-left inner/left/semi/anti, host-right inner/right."""
+        from ..datasource.host import HostMemoryExec
+        from ..ops.aggregate import HashAggregateExec
+        from ..ops.basic import FilterExec, ProjectionExec
+        from ..ops.join import HashJoinExec
+        from ..ops.window import WindowAggExec
+        from .morsel import MorselJoinStageExec
+
+        chain, below = _fusable_chain(plan)
+        if chain is None:
+            chain, below = [], plan
+        if not isinstance(below, HashJoinExec):
+            return None
+        if any(isinstance(op, WindowAggExec) for op in chain):
+            return None  # per-morsel windows would split partitions
+        for host_on_left, child, other in (
+            (True, below.left, below.right),
+            (False, below.right, below.left),
+        ):
+            types = (
+                MorselJoinStageExec.HOST_LEFT_TYPES
+                if host_on_left
+                else MorselJoinStageExec.HOST_RIGHT_TYPES
+            )
+            if below.join_type not in types:
+                continue
+            hchain, hbelow = _fusable_chain(child)
+            if hchain is None:
+                hchain, hbelow = [], child
+            if not isinstance(hbelow, HostMemoryExec):
+                continue
+            if not all(
+                isinstance(op, (FilterExec, ProjectionExec)) for op in hchain
+            ):
+                continue
+            return MorselJoinStageExec(
+                chain, below, hchain, hbelow, host_on_left,
+                self._opt(other, False), root=is_root,
+            )
+        return None
+
     def _opt(self, plan: ExecutionPlan, is_root: bool) -> ExecutionPlan:
         # host-resident (out-of-HBM) sources stream morsels through the
         # fused stage instead of materializing; must be checked before the
@@ -165,6 +210,9 @@ class FuseStages:
             and not any(isinstance(op, WindowAggExec) for op in mchain)
         ):
             return MorselStageExec(mchain, mbelow, root=is_root)
+        mj = self._try_morsel_join(plan, is_root)
+        if mj is not None:
+            return mj
         if compilable(plan) and _worth_fusing(plan):
             return StageExec(plan, root=is_root)
         # tail fusion: a fusable prefix above a non-fusable input (join,

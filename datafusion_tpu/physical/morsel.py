@@ -98,22 +98,7 @@ class MorselStageExec(ExecutionPlan):
         per: ExecutionPlan = placeholder
         for op in reversed(below):
             per = op.with_new_children([per])
-        if self.agg is not None:
-            if any(a.distinct for a in self.agg.aggr_expr):
-                # distinct-correct split: partial groups by (keys + values)
-                # so morsels emit dedup'd pairs, not over-countable states
-                distinct_aggs = [a for a in self.agg.aggr_expr if a.distinct]
-                pgroup = list(self.agg.group_expr) + [
-                    (a.expr, f"__dv{i}") for i, a in enumerate(distinct_aggs)
-                ]
-                paggs = [a for a in self.agg.aggr_expr if not a.distinct]
-                per = HashAggregateExec("partial", pgroup, paggs, per)
-                self._distinct_values = len(distinct_aggs)
-            else:
-                per = HashAggregateExec(
-                    "partial", self.agg.group_expr, self.agg.aggr_expr, per
-                )
-                self._distinct_values = 0
+        per, self._distinct_values = _attach_partial_agg(self.agg, per)
         self.per_morsel_plan = per
         self.stage = CompiledStage(per, source_node=placeholder)
 
@@ -149,25 +134,172 @@ class MorselStageExec(ExecutionPlan):
                 nxt = host.morsel(i + 1)
             outs.append(self.stage.execute(shrink=True, src=cur))
 
-        merged = (
-            outs[0]
-            if len(outs) == 1
-            else concat_tables(outs, self.per_morsel_plan.schema())
+        return _merge_and_finish(
+            outs,
+            self.per_morsel_plan.schema(),
+            self.agg,
+            self._distinct_values,
+            self.above,
         )
-        node: ExecutionPlan = MemoryExec(merged, self.per_morsel_plan.schema())
-        if self.agg is not None:
-            pschema = self.per_morsel_plan.schema()
-            final_group = [
-                (PhysCol(pschema.fields[i].name, i, pschema.fields[i].dtype), name)
-                for i, (_, name) in enumerate(self.agg.group_expr)
+
+
+def _attach_partial_agg(agg, per):
+    """Wrap the per-morsel plan in a 'partial' aggregate (distinct-correct:
+    partial groups by (keys + distinct values) so morsels emit dedup'd
+    pairs, not over-countable states).  Returns (plan, distinct_values)."""
+    if agg is None:
+        return per, 0
+    if any(a.distinct for a in agg.aggr_expr):
+        distinct_aggs = [a for a in agg.aggr_expr if a.distinct]
+        pgroup = list(agg.group_expr) + [
+            (a.expr, f"__dv{i}") for i, a in enumerate(distinct_aggs)
+        ]
+        paggs = [a for a in agg.aggr_expr if not a.distinct]
+        return HashAggregateExec("partial", pgroup, paggs, per), len(distinct_aggs)
+    return HashAggregateExec("partial", agg.group_expr, agg.aggr_expr, per), 0
+
+
+def _merge_and_finish(outs, pschema, agg, distinct_values, above):
+    """Concat per-morsel outputs, run the 'final' aggregate over the merged
+    states, then the above-chain ops (Limit? Sort? Proj*)."""
+    merged = outs[0] if len(outs) == 1 else concat_tables(outs, pschema)
+    node: ExecutionPlan = MemoryExec(merged, pschema)
+    if agg is not None:
+        final_group = [
+            (PhysCol(pschema.fields[i].name, i, pschema.fields[i].dtype), name)
+            for i, (_, name) in enumerate(agg.group_expr)
+        ]
+        node = HashAggregateExec(
+            "final", final_group, agg.aggr_expr, node,
+            distinct_values=distinct_values,
+        )
+    for op in reversed(above):
+        node = op.with_new_children([node])
+    return node.execute()
+
+
+class _SwapSource(ExecutionPlan):
+    """Mutable morsel slot: the SAME per-morsel operator tree (and its jit
+    caches) is reused across morsels by swapping .table."""
+
+    def __init__(self, schema):
+        super().__init__()
+        self._schema = schema
+        self.table: Table | None = None
+
+    def schema(self):
+        return self._schema
+
+    def children(self):
+        return []
+
+    def with_new_children(self, c):
+        return self
+
+    def _execute(self) -> Table:
+        if self.table is None:
+            raise InternalError("_SwapSource executes only inside a morsel loop")
+        return self.table
+
+
+class MorselJoinStageExec(ExecutionPlan):
+    """Streamed hash join over a host-resident probe side (SURVEY §7 hard
+    part (g), the reference's pipelined streaming join: hash_join.rs probes
+    arrive batch-by-batch against a collected build side).
+
+    The build side executes ONCE and stays HBM-resident; host probe morsels
+    stream through [probe-chain -> join -> mid-chain -> partial agg], states
+    accumulate, and the final aggregate + above-chain run on the merge.
+    Sound per morsel exactly when each emitted row is decided by one probe
+    row + the whole build side: host-on-left supports
+    inner/left/semi/anti, host-on-right supports inner/right (device-side
+    outer rows would need a visited mask accumulated across morsels — those
+    plans materialize instead)."""
+
+    HOST_LEFT_TYPES = ("inner", "left", "semi", "anti")
+    HOST_RIGHT_TYPES = ("inner", "right")
+
+    def __init__(self, chain, join, host_chain, host_source, host_on_left,
+                 build, root=False):
+        super().__init__()
+        self.full_chain = list(chain)
+        self.join = join
+        self.host_chain = list(host_chain)
+        self.source = host_source
+        self.host_on_left = host_on_left
+        self.build = build
+        self.root = root
+        self.host: HostTable = host_source.projected_host()
+
+        agg_idx = next(
+            (i for i, op in enumerate(chain)
+             if isinstance(op, HashAggregateExec)),
+            None,
+        )
+        if agg_idx is not None:
+            self.agg = chain[agg_idx]
+            if self.agg.mode != "single":
+                raise InternalError("morsel join stage expects a 'single' aggregate")
+            self.above = chain[:agg_idx]
+            self.mid = chain[agg_idx + 1:]          # Filter/Proj above the join
+        else:
+            self.agg = None
+            self.above = [
+                op for op in chain if isinstance(op, (SortExec, GlobalLimitExec))
             ]
-            node = HashAggregateExec(
-                "final",
-                final_group,
-                self.agg.aggr_expr,
-                node,
-                distinct_values=self._distinct_values,
-            )
-        for op in reversed(self.above):
+            self.mid = [
+                op for op in chain
+                if not isinstance(op, (SortExec, GlobalLimitExec))
+            ]
+
+    def schema(self):
+        return (self.full_chain[0] if self.full_chain else self.join).schema()
+
+    def children(self):
+        return [self.build]
+
+    def with_new_children(self, c):
+        return MorselJoinStageExec(
+            self.full_chain, self.join, self.host_chain, self.source,
+            self.host_on_left, c[0], self.root,
+        )
+
+    def _display_line(self):
+        r = " root" if self.root else ""
+        side = "left" if self.host_on_left else "right"
+        return (
+            f"MorselJoinStageExec[{self.join.join_type}, host-{side}, "
+            f"fused x{len(self.full_chain) + 1 + len(self.host_chain)}{r}, "
+            f"{self.host.num_morsels} morsels x {self.host.morsel_rows}]"
+        )
+
+    # ------------------------------------------------------------------
+    def _execute(self) -> Table:
+        build_tbl = self.build.execute()
+        bmem = MemoryExec(build_tbl, self.build.schema())
+
+        swap = _SwapSource(self.host.schema())
+        probe: ExecutionPlan = swap
+        for op in reversed(self.host_chain):
+            probe = op.with_new_children([probe])
+        kids = [probe, bmem] if self.host_on_left else [bmem, probe]
+        node = self.join.with_new_children(kids)
+        for op in reversed(self.mid):
             node = op.with_new_children([node])
-        return node.execute()
+        per, distinct_values = _attach_partial_agg(self.agg, node)
+
+        host = self.host
+        m = host.num_morsels
+        outs: list[Table] = []
+        nxt = host.morsel(0)
+        for i in range(m):
+            cur = nxt
+            if i + 1 < m:
+                # prefetch rides under this morsel's compute (async dispatch)
+                nxt = host.morsel(i + 1)
+            swap.table = cur
+            outs.append(per.execute())
+
+        return _merge_and_finish(
+            outs, per.schema(), self.agg, distinct_values, self.above
+        )
