@@ -18,6 +18,7 @@ what accumulates in HBM.
 
 from __future__ import annotations
 
+from ..columnar.column import Column
 from ..columnar.table import Table
 from ..datasource.host import HostMemoryExec, HostTable
 from ..errors import InternalError
@@ -25,6 +26,7 @@ from ..exprs.physical import PhysCol
 from ..ops.aggregate import HashAggregateExec
 from ..ops.base import ExecutionPlan
 from ..ops.basic import FilterExec, GlobalLimitExec, MemoryExec, ProjectionExec, concat_tables
+from ..ops.join import HashJoinExec
 from ..ops.sort import SortExec
 from .stage_compiler import CompiledStage
 
@@ -210,14 +212,18 @@ class MorselJoinStageExec(ExecutionPlan):
     The build side executes ONCE and stays HBM-resident; host probe morsels
     stream through [probe-chain -> join -> mid-chain -> partial agg], states
     accumulate, and the final aggregate + above-chain run on the merge.
-    Sound per morsel exactly when each emitted row is decided by one probe
-    row + the whole build side: host-on-left supports
-    inner/left/semi/anti, host-on-right supports inner/right (device-side
-    outer rows would need a visited mask accumulated across morsels — those
-    plans materialize instead)."""
+    Host-side row decisions are sound per morsel (each host row appears in
+    exactly one morsel with the whole build side present): host-on-left
+    inner/left/semi/anti, host-on-right inner/right stream directly.
+    DEVICE-side outer rows (right/full with host-left; left/full with
+    host-right) stream too, via a __rowid column riding the build side: a
+    visited mask accumulates across morsels and one final unmatched batch
+    (build rows padded with nulls) feeds the same mid-chain + partial
+    aggregate — the reference's visited bitmap (hash_join.rs :649) carried
+    across the probe stream."""
 
-    HOST_LEFT_TYPES = ("inner", "left", "semi", "anti")
-    HOST_RIGHT_TYPES = ("inner", "right")
+    HOST_LEFT_TYPES = ("inner", "left", "semi", "anti", "right", "full")
+    HOST_RIGHT_TYPES = ("inner", "right", "left", "full")
 
     def __init__(self, chain, join, host_chain, host_source, host_on_left,
                  build, root=False):
@@ -275,18 +281,69 @@ class MorselJoinStageExec(ExecutionPlan):
 
     # ------------------------------------------------------------------
     def _execute(self) -> Table:
+        import jax.numpy as jnp
+
+        from ..ops import kernels as K
+        from ..types.dtypes import INT64
+
+        jt = self.join.join_type
+        device_outer = (
+            jt in ("right", "full") if self.host_on_left
+            else jt in ("left", "full")
+        )
         build_tbl = self.build.execute()
-        bmem = MemoryExec(build_tbl, self.build.schema())
+        jschema = self.join.schema()
+        nfields = len(jschema.fields)
+        nb = len(build_tbl.columns)
+        nh = nfields - nb
+
+        if not device_outer:
+            bmem = MemoryExec(build_tbl, self.build.schema())
+            per_join = self.join
+            rowid_idx = None
+        else:
+            # ride a __rowid column on the build side; per-morsel join type
+            # keeps only host-side outer semantics, device-side unmatched
+            # rows are emitted once at the end from the visited mask
+            rcap = build_tbl.capacity
+            rowid = Column(
+                INT64, jnp.arange(rcap, dtype=jnp.int64),
+                jnp.ones(rcap, bool),
+            )
+            btbl2 = Table(
+                list(build_tbl.names) + ["__rowid"],
+                list(build_tbl.columns) + [rowid],
+                build_tbl.nrows_dev,
+            )
+            bmem = MemoryExec(btbl2, btbl2.schema())
+            per_jt = {"right": "inner", "full": "left"}[jt] if self.host_on_left \
+                else {"left": "inner", "full": "right"}[jt]
+            per_join = HashJoinExec(
+                self.join.left, self.join.right, self.join.on, per_jt,
+                self.join.filter,
+            )
+            # __rowid is the LAST build column: last overall for host-left,
+            # at index nb (before the host cols) for host-right
+            rowid_idx = nfields if self.host_on_left else nb
 
         swap = _SwapSource(self.host.schema())
         probe: ExecutionPlan = swap
         for op in reversed(self.host_chain):
             probe = op.with_new_children([probe])
         kids = [probe, bmem] if self.host_on_left else [bmem, probe]
-        node = self.join.with_new_children(kids)
+        join_node = per_join.with_new_children(kids)
+
+        # downstream tree over the ORIGINAL join output schema (a second
+        # swap source: per-morsel join outputs AND the final unmatched
+        # batch both feed it)
+        swap2 = _SwapSource(jschema)
+        node: ExecutionPlan = swap2
         for op in reversed(self.mid):
             node = op.with_new_children([node])
         per, distinct_values = _attach_partial_agg(self.agg, node)
+
+        visited = None
+        out_dics = None
 
         host = self.host
         m = host.num_morsels
@@ -298,6 +355,52 @@ class MorselJoinStageExec(ExecutionPlan):
                 # prefetch rides under this morsel's compute (async dispatch)
                 nxt = host.morsel(i + 1)
             swap.table = cur
+            jt_out = join_node.execute()
+            if device_outer:
+                rid = jt_out.columns[rowid_idx]
+                live = jnp.arange(jt_out.capacity) < jt_out.nrows_dev
+                # bookkeeping scatter, one per morsel (not a hot-path op)
+                idx = jnp.where(rid.valid & live, rid.data, rcap).astype(
+                    jnp.int32
+                )
+                upd = jnp.zeros(rcap, bool).at[idx].set(True, mode="drop")
+                visited = upd if visited is None else (visited | upd)
+                cols = [
+                    c for j, c in enumerate(jt_out.columns) if j != rowid_idx
+                ]
+                names = [
+                    n for j, n in enumerate(jt_out.names) if j != rowid_idx
+                ]
+                if out_dics is None:
+                    out_dics = [c.dictionary for c in cols]
+                jt_out = Table(names, cols, jt_out.nrows_dev)
+            swap2.table = jt_out
+            outs.append(per.execute())
+
+        if device_outer:
+            # one final batch: unmatched build rows padded with nulls
+            r_alive = jnp.arange(rcap) < build_tbl.nrows_dev
+            keep = r_alive & ~visited
+            hfields = (
+                jschema.fields[:nh] if self.host_on_left
+                else jschema.fields[nb:]
+            )
+            null_d = tuple(
+                jnp.zeros(rcap, f.dtype.storage_np_dtype()) for f in hfields
+            )
+            null_v = tuple(jnp.zeros(rcap, bool) for _ in hfields)
+            bd = tuple(c.data for c in build_tbl.columns)
+            bv = tuple(c.valid & keep for c in build_tbl.columns)
+            datas = null_d + bd if self.host_on_left else bd + null_d
+            valids = null_v + bv if self.host_on_left else bv + null_v
+            out_d, out_v, cnt = K.filter_compact(
+                datas, valids, keep, build_tbl.nrows_dev
+            )
+            cols = [
+                Column(f.dtype, d, v, dic)
+                for f, dic, d, v in zip(jschema.fields, out_dics, out_d, out_v)
+            ]
+            swap2.table = Table([f.name for f in jschema.fields], cols, cnt)
             outs.append(per.execute())
 
         return _merge_and_finish(

@@ -146,3 +146,27 @@ def test_morsel_join_plan_engages(join_ctxs):
         )
 
     assert find(phys)
+
+
+DEVICE_OUTER_QUERIES = [
+    "SELECT o.status, count(*) c, count(li.qty) cq, sum(li.qty) sq FROM li "
+    "RIGHT JOIN o ON li.okey = o.okey2 GROUP BY o.status ORDER BY o.status",
+    "SELECT count(*) c, count(li.qty) cl, count(o.cust) co FROM li "
+    "FULL JOIN o ON li.okey = o.okey2",
+    "SELECT o.okey2, li.qty FROM li RIGHT JOIN o ON li.okey = o.okey2 "
+    "WHERE o.cust = 7 ORDER BY o.okey2, li.qty LIMIT 12",
+    "SELECT li.flag, count(*) c FROM li FULL JOIN o ON li.okey = o.okey2 "
+    "GROUP BY li.flag ORDER BY li.flag",
+]
+
+
+@pytest.mark.parametrize("q", DEVICE_OUTER_QUERIES)
+def test_morsel_join_device_outer(join_ctxs, q):
+    """right/full outer with the host table as probe: a __rowid visited
+    mask accumulates across morsels (hash_join.rs:649's visited bitmap
+    carried across the probe stream) and one final unmatched batch feeds
+    the same partial-aggregate pipeline."""
+    dev, host = join_ctxs
+    a = dev.sql(q).collect().to_pydict()
+    b = host.sql(q).collect().to_pydict()
+    assert a == b, q
