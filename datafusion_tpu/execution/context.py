@@ -388,17 +388,20 @@ class ExecutionContext:
             raise PlanError(f"unsupported file type {plan.file_type}")
 
     # ---- execution ------------------------------------------------------------
+    def create_physical_plan_for_mesh(self, plan: LogicalPlan):
+        """The raw (unfused) physical plan the SPMD executor lowers onto a
+        mesh — the TPU-native equivalent of Ballista distributing an
+        arbitrary plan (scheduler/src/planner.rs:40-171)."""
+        optimized = self.optimize(plan)
+        planner = self.config.query_planner or DefaultPhysicalPlanner()
+        return planner.create_physical_plan(optimized)
+
     def collect(self, plan: LogicalPlan, mesh=None) -> Table:
         display = [f.name for f in plan.schema().fields]  # pre-optimization names
         if mesh is not None and not isinstance(plan, Explain):
-            # SPMD path: the raw (unfused) physical plan lowers onto the
-            # mesh — the TPU-native equivalent of Ballista distributing an
-            # arbitrary plan (scheduler/src/planner.rs:40-171)
             from ..parallel.executor import SpmdExecutor
 
-            optimized = self.optimize(plan)
-            planner = self.config.query_planner or DefaultPhysicalPlanner()
-            phys = planner.create_physical_plan(optimized)
+            phys = self.create_physical_plan_for_mesh(plan)
             out = SpmdExecutor(mesh).execute_plan(phys)
             if len(display) == len(out.names):
                 out = Table(display, out.columns, out.nrows_dev)

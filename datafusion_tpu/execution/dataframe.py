@@ -88,6 +88,16 @@ class DataFrame:
     def cross_join(self, right: "DataFrame") -> "DataFrame":
         return DataFrame(self._ctx, self._b().cross_join(right._plan).build())
 
+    def repartition(self, n: int, *exprs: Expr) -> "DataFrame":
+        """Exchange hint (dataframe.rs repartition): round-robin without
+        exprs, hash-partitioned on exprs with.  Single-device execution
+        ignores it; the distributed planner and SPMD executor realize it
+        as shuffle boundaries."""
+        part = "hash" if exprs else "round_robin"
+        return DataFrame(
+            self._ctx, self._b().repartition(part, n, list(exprs)).build()
+        )
+
     def alias(self, name: str) -> "DataFrame":
         return DataFrame(self._ctx, self._b().alias(name).build())
 
@@ -110,6 +120,22 @@ class DataFrame:
         runs SPMD over the mesh via the SpmdExecutor; otherwise single
         device."""
         return self._ctx.collect(self._plan, mesh=mesh)
+
+    def collect_partitioned(self, mesh=None) -> list[Table]:
+        """Per-partition results (dataframe.rs collect_partitioned): with a
+        mesh, one Table per shard; single device returns one partition."""
+        if mesh is None:
+            return [self.collect()]
+        from ..parallel.executor import SpmdExecutor
+
+        phys = self._ctx.create_physical_plan_for_mesh(self._plan)
+        parts = SpmdExecutor(mesh).execute_sharded(phys).shard_tables()
+        display = [f.name for f in self._plan.schema().fields]
+        return [
+            Table(display, p.columns, p.nrows_dev)
+            if len(display) == len(p.names) else p
+            for p in parts
+        ]
 
     def to_pandas(self):
         return self.collect().to_pandas()

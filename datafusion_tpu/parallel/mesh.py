@@ -148,6 +148,29 @@ class ShardedTable:
             newcap,
         )
 
+    def shard_tables(self) -> list[Table]:
+        """One single-device Table per shard (collect_partitioned contract:
+        dataframe.rs returns per-partition batches)."""
+        ndev = self.ndev
+        counts = host_read(self.nrows)
+        out = []
+        for i in range(ndev):
+            n = int(counts[i])
+            cap = round_capacity(max(n, 1))
+            cols = []
+            for dt, dic, d, v in zip(
+                self.dtypes, self.dicts, self.datas, self.valids
+            ):
+                hd = host_read(d).reshape(ndev, self.shard_cap)[i]
+                hv = host_read(v).reshape(ndev, self.shard_cap)[i]
+                buf = np.zeros(cap, dtype=hd.dtype)
+                vbuf = np.zeros(cap, dtype=bool)
+                buf[:n] = hd[:n]
+                vbuf[:n] = hv[:n]
+                cols.append(Column(dt, jnp.asarray(buf), jnp.asarray(vbuf), dic))
+            out.append(Table(list(self.names), cols, n))
+        return out
+
     def to_table(self) -> Table:
         """Gather all shards into one compacted single-device Table."""
         ndev = self.ndev

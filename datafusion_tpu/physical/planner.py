@@ -156,6 +156,12 @@ class DefaultPhysicalPlanner(PhysicalPlanner):
         if isinstance(plan, L.Skip):
             return SkipExec(plan.n, self.create_physical_plan(plan.input))
 
+        if isinstance(plan, L.Repartition):
+            # exchange hint: single-device whole-table execution has no
+            # partitions to exchange (the distributed planner and the SPMD
+            # executor introduce real shuffles at stage boundaries instead)
+            return self.create_physical_plan(plan.input)
+
         if isinstance(plan, L.SubqueryAlias):
             input_exec = self.create_physical_plan(plan.input)
             out_names = [f.qualified_name for f in plan.schema().fields]

@@ -84,3 +84,31 @@ def test_bare_table_collect_keeps_all_columns(ctx):
     out = ctx.table("t").filter(col("a") > lit(1)).sort(col("a")).limit(2).collect()
     assert out.names == ["a", "b", "c"]
     assert out.nrows == 2
+
+
+def test_repartition_and_collect_partitioned():
+    """dataframe.rs repartition + collect_partitioned parity: the exchange
+    hint is a no-op single-device; collect_partitioned returns one Table
+    per mesh shard whose union is the full result."""
+    from datafusion_tpu.logical.expr import col
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {"k": list(range(100)), "g": [i % 5 for i in range(100)]}
+        ),
+    )
+    df = ctx.sql("SELECT k, g FROM t WHERE k >= 10")
+    assert df.repartition(4).collect().to_pydict()["k"][:3] == [10, 11, 12]
+    assert sorted(
+        df.repartition(4, col("g")).collect().to_pydict()["k"]
+    ) == list(range(10, 100))
+    parts = df.collect_partitioned()
+    assert len(parts) == 1 and parts[0].nrows == 90
+    mparts = df.collect_partitioned(mesh=make_mesh(8))
+    assert len(mparts) == 8
+    assert sorted(
+        x for p in mparts for x in p.to_pydict()["k"]
+    ) == list(range(10, 100))
