@@ -48,9 +48,12 @@ def full_suite():
 
     timings = tpch_bench(sf, queries, iterations=iters)
     meds = {q: round(statistics.median(ts) * 1000, 2) for q, ts in timings.items()}
+    import jax
+
     out = {
         "sf": sf,
         "iters": iters,
+        "backend": jax.devices()[0].platform,
         "median_ms": meds,
         "total_ms": round(sum(meds.values()), 1),
     }
