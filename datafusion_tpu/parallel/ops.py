@@ -36,7 +36,7 @@ from ..exprs.physical import PhysicalExpr, harmonize_strings
 from ..ops import kernels as K
 from ..ops.aggregate import PhysAggExpr, _eval_aggregate, _group_rows, _merge_aggregate, _segment_first_index
 from .mesh import AXIS, ShardedTable
-from .shuffle import local_alive, shuffle_by_hash, shuffle_split
+from .shuffle import local_alive, shuffle_by_hash, shuffle_split, shuffle_split_dest
 
 
 def _pay_at(pd, pv, pmap, idx):
@@ -777,26 +777,36 @@ def dist_sort(st: ShardedTable, sort_exprs, bucket_cap: int | None = None):
         )
         dest = jnp.sum(gt, axis=0, dtype=jnp.int32)
 
-        out_d, out_v, new_n, overflow = shuffle_by_dest(
-            datas, valids, alive, dest, ndev, B
+        # split shuffle: the FULL key list's orderable encodings ride the
+        # dest/receive co-sorts, payload columns take the late-materialized
+        # gather -> all_to_all path (overlapping the local key sort), and
+        # ONE gather through the sorted receive-slot index materializes the
+        # output — payloads move once instead of riding three sorts
+        key_cols = [s.expr.evaluate(t) for s in sort_exprs]
+        ordkeys = [K.orderable_key(c.data, c.dtype) for c in key_cols]
+        kvalids = [c.valid for c in key_cols]
+        out_kd, out_kv, pos2, new_n, overflow, pay_d, pay_v = shuffle_split_dest(
+            ordkeys, kvalids, datas, valids, alive, dest, ndev, B
         )
-
-        # local sort by the FULL key list, all columns as payloads
-        t2 = _local_view(st, out_d, out_v)
-        key_cols = [s.expr.evaluate(t2) for s in sort_exprs]
-        ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
-        kvalids = tuple(c.valid for c in key_cols)
+        fcap = ndev * B
         moved, _ = K.lexsort_apply(
-            ordkeys,
-            kvalids,
-            tuple(out_d) + tuple(out_v),
+            tuple(out_kd),
+            tuple(out_kv),
+            (pos2,),
             new_n[0],
             tuple(not s.ascending for s in sort_exprs),
             tuple(s.nulls_first for s in sort_exprs),
         )
-        sorted_d = list(moved[:ncols])
-        sorted_v = list(moved[ncols:])
-        return (new_n, overflow.reshape(1).astype(jnp.int64), *sorted_d, *sorted_v)
+        spos = moved[0]
+        live = jnp.arange(fcap) < new_n[0]
+        sorted_d = [K.gather64(d, spos) for d in pay_d]
+        sorted_v = [v[spos] & live for v in pay_v]
+        return (
+            new_n,
+            jnp.asarray(overflow).reshape(1).astype(jnp.int64),
+            *sorted_d,
+            *sorted_v,
+        )
 
     fn = _shard_map(
         st.mesh,

@@ -157,6 +157,25 @@ def shuffle_split(
     cap = key_hash.shape[0]
     alive = local_alive(cap, nrows_local)
     dest = (key_hash % jnp.uint64(ndev)).astype(jnp.int32)
+    return shuffle_split_dest(
+        key_datas, key_valids, pay_datas, pay_valids, alive, dest, ndev,
+        bucket_cap,
+    )
+
+
+def shuffle_split_dest(
+    key_datas: list[jnp.ndarray],
+    key_valids: list[jnp.ndarray],
+    pay_datas: list[jnp.ndarray],
+    pay_valids: list[jnp.ndarray],
+    alive: jnp.ndarray,
+    dest: jnp.ndarray,
+    ndev: int,
+    bucket_cap: int,
+):
+    """shuffle_split with an arbitrary destination map (0..ndev-1 for live
+    rows) — used by range-partitioned dist_sort as well as hash routing."""
+    cap = dest.shape[0]
     dest = jnp.where(alive, dest, ndev)
 
     onehot = jax.nn.one_hot(dest, ndev + 1, dtype=jnp.int32)
