@@ -36,7 +36,12 @@ from ..exprs.physical import PhysicalExpr, harmonize_strings
 from ..ops import kernels as K
 from ..ops.aggregate import PhysAggExpr, _eval_aggregate, _group_rows, _merge_aggregate, _segment_first_index
 from .mesh import AXIS, ShardedTable
-from .shuffle import local_alive, shuffle_by_hash, shuffle_split, shuffle_split_dest
+from .shuffle import (
+    local_alive,
+    shuffle_by_hash,
+    shuffle_exchange_dest,
+    shuffle_split,
+)
 
 
 def _pay_at(pd, pv, pmap, idx):
@@ -777,30 +782,34 @@ def dist_sort(st: ShardedTable, sort_exprs, bucket_cap: int | None = None):
         )
         dest = jnp.sum(gt, axis=0, dtype=jnp.int32)
 
-        # split shuffle: the FULL key list's orderable encodings ride the
-        # dest/receive co-sorts, payload columns take the late-materialized
-        # gather -> all_to_all path (overlapping the local key sort), and
-        # ONE gather through the sorted receive-slot index materializes the
-        # output — payloads move once instead of riding three sorts
+        # split exchange + ONE fused compaction/sort: the FULL key list's
+        # orderable encodings ride the dest co-sort, payload columns take
+        # the near-sequential send gather -> all_to_all (overlapping the
+        # key-side work), and the receive side runs a SINGLE variadic
+        # lexsort that compacts (dead_mask) and sorts everything at once —
+        # payloads move through one send gather + one sort ride instead of
+        # three sort rides (bench/MICRO.md: a payload riding a sort costs
+        # ~1/7 of a random gather on TPU, so compaction folds into the
+        # consumer's sort rather than a gather)
         key_cols = [s.expr.evaluate(t) for s in sort_exprs]
         ordkeys = [K.orderable_key(c.data, c.dtype) for c in key_cols]
         kvalids = [c.valid for c in key_cols]
-        out_kd, out_kv, pos2, new_n, overflow, pay_d, pay_v = shuffle_split_dest(
+        kd, kv, pay_d, pay_v, keepr, new_n, overflow = shuffle_exchange_dest(
             ordkeys, kvalids, datas, valids, alive, dest, ndev, B
         )
         fcap = ndev * B
         moved, _ = K.lexsort_apply(
-            tuple(out_kd),
-            tuple(out_kv),
-            (pos2,),
+            tuple(kd),
+            tuple(kv),
+            tuple(pay_d) + tuple(pay_v),
             new_n[0],
             tuple(not s.ascending for s in sort_exprs),
             tuple(s.nulls_first for s in sort_exprs),
+            dead_mask=~keepr,
         )
-        spos = moved[0]
         live = jnp.arange(fcap) < new_n[0]
-        sorted_d = [K.gather64(d, spos) for d in pay_d]
-        sorted_v = [v[spos] & live for v in pay_v]
+        sorted_d = list(moved[:ncols])
+        sorted_v = [v & live for v in moved[ncols:]]
         return (
             new_n,
             jnp.asarray(overflow).reshape(1).astype(jnp.int64),

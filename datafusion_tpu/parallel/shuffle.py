@@ -241,3 +241,79 @@ def shuffle_split_dest(
         pay_recv_d,
         pay_recv_v,
     )
+
+
+def shuffle_exchange_dest(
+    key_datas: list[jnp.ndarray],
+    key_valids: list[jnp.ndarray],
+    pay_datas: list[jnp.ndarray],
+    pay_valids: list[jnp.ndarray],
+    alive: jnp.ndarray,
+    dest: jnp.ndarray,
+    ndev: int,
+    bucket_cap: int,
+):
+    """Exchange WITHOUT receive compaction: keys ride the dest co-sort,
+    payloads take the near-sequential send gather, and both arrive slot-
+    structured (shard s's rows in slots [s*bucket_cap, s*bucket_cap+n_s)).
+    The caller folds compaction into its OWN next payload-carrying sort via
+    the returned ``keep`` mask (dead_mask=~keep) — on TPU a payload column
+    riding one extra sort is ~7x cheaper than one random gather
+    (bench/MICRO.md), so fusing compaction into the consumer's sort beats
+    both a separate compaction co-sort and gather-based late
+    materialization.
+
+    Returns (key_recv_d, key_recv_v, pay_recv_d, pay_recv_v, keep, new_n,
+    overflow)."""
+    cap = dest.shape[0]
+    dest = jnp.where(alive, dest, ndev)
+
+    onehot = jax.nn.one_hot(dest, ndev + 1, dtype=jnp.int32)
+    counts = jnp.sum(onehot, axis=0)[:ndev]
+    starts = jnp.cumsum(counts) - counts
+
+    pos0 = jnp.arange(cap, dtype=jnp.int32)
+    nk = len(key_datas)
+    _, moved = K.cosort(
+        (dest,), tuple(key_datas) + tuple(key_valids) + (pos0,)
+    )
+    sorted_kd = moved[:nk]
+    sorted_kv = moved[nk : 2 * nk]
+    sorted_pos = moved[2 * nk]
+
+    overflow = jnp.maximum(jnp.max(counts) - bucket_cap, 0)
+
+    p = jnp.arange(ndev * bucket_cap)
+    s = (p // bucket_cap).astype(jnp.int32)
+    k = (p % bucket_cap).astype(jnp.int32)
+    src_idx = jnp.clip(starts[s] + k, 0, cap - 1).astype(jnp.int32)
+    slot_live = k < jnp.minimum(counts[s], bucket_cap)
+
+    recv_counts = jax.lax.all_to_all(
+        jnp.minimum(counts, bucket_cap).reshape(ndev, 1), AXIS,
+        split_axis=0, concat_axis=0,
+    ).reshape(ndev)
+
+    def exchange(send):
+        return jax.lax.all_to_all(
+            send.reshape(ndev, bucket_cap), AXIS, split_axis=0, concat_axis=0
+        ).reshape(-1)
+
+    key_recv_d = [exchange(K.gather64(d, src_idx)) for d in sorted_kd]
+    key_recv_v = [exchange(v[src_idx] & slot_live) for v in sorted_kv]
+    pay_send_idx = sorted_pos[src_idx]
+    pay_recv_d = [exchange(K.gather64(d, pay_send_idx)) for d in pay_datas]
+    pay_recv_v = [exchange(v[pay_send_idx] & slot_live) for v in pay_valids]
+
+    rowpos = jnp.arange(ndev * bucket_cap)
+    keep = (rowpos % bucket_cap) < recv_counts[rowpos // bucket_cap]
+    new_n = jnp.sum(recv_counts)
+    return (
+        key_recv_d,
+        key_recv_v,
+        pay_recv_d,
+        pay_recv_v,
+        keep,
+        new_n.reshape(1).astype(jnp.int64),
+        overflow,
+    )
