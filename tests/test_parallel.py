@@ -376,3 +376,32 @@ def test_dist_distinct_aggregate_matches_local():
             ctx.sql(q).collect().to_pydict()
             == ctx.sql(q).collect(mesh=mesh).to_pydict()
         ), q
+
+
+def test_dist_sort_sql_nulls_desc_strings():
+    """Mesh ORDER BY through the fused exchange+sort path: multi-key with
+    NULLS FIRST/LAST, DESC, and dictionary strings must match local."""
+    from datafusion_tpu import ExecutionContext
+
+    ctx = ExecutionContext()
+    n = 400
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "v": [None if i % 7 == 0 else float((i * 13) % 83) for i in range(n)],
+                "s": [None if i % 11 == 0 else f"s{(i * 5) % 19:02d}" for i in range(n)],
+                "i": list(range(n)),
+            }
+        ),
+    )
+    mesh = make_mesh(8)
+    for q in [
+        "SELECT i, v, s FROM t ORDER BY v DESC NULLS FIRST, s ASC NULLS LAST, i",
+        "SELECT i, v FROM t ORDER BY s DESC, v, i LIMIT 50",
+        "SELECT i FROM t ORDER BY v NULLS FIRST, i DESC",
+    ]:
+        assert (
+            ctx.sql(q).collect().to_pydict()
+            == ctx.sql(q).collect(mesh=mesh).to_pydict()
+        ), q
