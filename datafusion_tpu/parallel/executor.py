@@ -113,10 +113,21 @@ class SpmdExecutor:
             sl = self._exec(plan.left)
             sr = self._exec(plan.right)
             try:
+                # CollectLeft mode for small build sides (hash_join.rs:285):
+                # replicate the build via all_gather, probes stay local —
+                # no all_to_all of the big side at all
+                import os as _os
+
+                limit = int(_os.environ.get("DFTPU_BCAST_ROWS", 1 << 16))
+                try:
+                    bcast = sr.total_rows() <= limit
+                except Exception:
+                    bcast = False
                 # shrink: join output capacity (fanout * probe cap) and
                 # shuffle receive buffers otherwise COMPOUND up the plan
                 return dist_join(
-                    sl, sr, plan.on, plan.join_type, plan.filter
+                    sl, sr, plan.on, plan.join_type, plan.filter,
+                    broadcast=bcast,
                 ).shrink()
             except ExecutionError:
                 raise

@@ -373,6 +373,7 @@ def dist_join(
     bucket_cap: int | None = None,
     out_cap: int | None = None,
     skew: bool = False,
+    broadcast: bool = False,
 ) -> ShardedTable:
     """Partitioned hash join, ALL SIX join types (reference
     hash_join.rs:139-144 PartitionMode::Partitioned over Inner/Left/Right/
@@ -399,10 +400,18 @@ def dist_join(
     nl, nr = len(left.datas), len(right.datas)
     Bl = bucket_cap or left.shard_cap
     Br = bucket_cap or right.shard_cap
+    if skew and broadcast:
+        raise ExecutionError("dist_join: skew and broadcast are exclusive")
     if skew:
         # [local-hot | nonhot-recv] probe region; [gathered-hot | nonhot-recv] build
         lcap2 = left.shard_cap + ndev * Bl
         rcap2 = ndev * right.shard_cap + ndev * Br
+    elif broadcast:
+        # CollectLeft mode (hash_join.rs:285): probes stay local, the whole
+        # build side replicates to every shard via all_gather — zero probe
+        # transfer, right for small build sides (dimension tables)
+        lcap2 = left.shard_cap
+        rcap2 = ndev * right.shard_cap
     else:
         lcap2 = ndev * Bl
         rcap2 = ndev * Br
@@ -436,7 +445,47 @@ def dist_join(
             [c.valid for c in rkeys],
         )
 
-        if not skew:
+        if broadcast:
+            # probe side untouched (already front-compacted locally)
+            lkd = [c.data for c in lkeys]
+            lkv = [c.valid for c in lkeys]
+            lmap = None
+            lpd, lpv = list(ld), list(lv)
+            lnew = lnrows.astype(jnp.int64)
+            # build side: all_gather keys AND payloads; keys compact via one
+            # co-sort carrying the replicated-slot index (payloads stay
+            # uncompacted, late-materialized through rmap like the split
+            # shuffle).  The gathered layout is identical on every shard,
+            # so the unmatched-build bookkeeping reuses the skew path's
+            # replicated-rows machinery (pmax visited, shard-0 emission).
+            rcnts = jax.lax.all_gather(rnrows, AXIS).reshape(-1)
+            rcap0 = right.shard_cap
+            seg = jnp.arange(rcap2) // rcap0
+            within = jnp.arange(rcap2) % rcap0
+            seg_alive = within < rcnts[seg]
+            gkd = [
+                jax.lax.all_gather(c.data, AXIS).reshape(-1) for c in rkeys
+            ]
+            gkv = [
+                jax.lax.all_gather(c.valid, AXIS).reshape(-1) & seg_alive
+                for c in rkeys
+            ]
+            pos0 = jnp.arange(rcap2, dtype=jnp.int32)
+            _, movedb = K.cosort(
+                (~seg_alive,), tuple(gkd) + tuple(gkv) + (pos0,)
+            )
+            nk = len(rkeys)
+            rkd = list(movedb[:nk])
+            rkv = list(movedb[nk : 2 * nk])
+            rmap = movedb[2 * nk]
+            rnew = jnp.sum(rcnts).reshape(1).astype(jnp.int64)
+            rpd = [jax.lax.all_gather(d, AXIS).reshape(-1) for d in rd]
+            rpv = [
+                jax.lax.all_gather(v, AXIS).reshape(-1) & seg_alive
+                for v in rv
+            ]
+            hot_build_n = rnew[0]  # whole build replicated on every shard
+        elif not skew:
             # split shuffle: keys ride the co-sorts, payloads take the
             # late-materialized gather -> all_to_all path whose collectives
             # overlap the probe compute below (double-buffered exchange)

@@ -405,3 +405,39 @@ def test_dist_sort_sql_nulls_desc_strings():
             ctx.sql(q).collect().to_pydict()
             == ctx.sql(q).collect(mesh=mesh).to_pydict()
         ), q
+
+
+@pytest.mark.parametrize("jt", ["inner", "left", "right", "full", "semi", "anti"])
+def test_dist_join_broadcast(jt):
+    """CollectLeft mode on the mesh (hash_join.rs:285): the whole build side
+    replicates via all_gather (deterministic identical layout per shard),
+    probes stay local — unmatched-build rows detected with a pmax'd visited
+    mask and emitted exactly once (shard 0)."""
+    from datafusion_tpu.exprs.physical import PhysCol
+    from datafusion_tpu.ops.join import join_tables
+    from datafusion_tpu.parallel.ops import dist_join
+    from datafusion_tpu.types.dtypes import INT64
+
+    rng = np.random.default_rng(4)
+    n, m = 3000, 50
+    lt = Table.from_pydict(
+        {
+            "k": rng.integers(0, 30, n).astype(np.int64),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    rt = Table.from_pydict(
+        {
+            "k2": (np.arange(m) * 2).astype(np.int64),  # half unmatched
+            "w": rng.integers(0, 100, m).astype(np.int64),
+        }
+    )
+    mesh = make_mesh(8)
+    on = [(PhysCol("k", 0, INT64), PhysCol("k2", 0, INT64))]
+    out = dist_join(
+        ShardedTable.from_table(lt, mesh),
+        ShardedTable.from_table(rt, mesh),
+        on, jt, broadcast=True,
+    ).to_table()
+    want = join_tables(lt, rt, on, jt, None)
+    assert sorted_rows(out) == sorted_rows(want)
