@@ -53,6 +53,7 @@ from ..ops.basic import (
     concat_tables,
 )
 from ..ops.join import HashJoinExec
+from ..ops.sorted import MergeJoinExec
 from ..ops.sort import SortExec
 from ..ops.window import WindowAggExec
 from .mesh import ShardedTable, make_mesh
@@ -109,7 +110,10 @@ class SpmdExecutor:
                 return dist_aggregate(st, plan.group_expr, plan.aggr_expr).shrink()
             except Exception:
                 return self._fallback(plan, [st])
-        if isinstance(plan, HashJoinExec):
+        if isinstance(plan, (HashJoinExec, MergeJoinExec)):
+            # MergeJoinExec shares the equi-join contract (on/join_type);
+            # its sorted-input hint has no distributed analogue here, so it
+            # lowers to the same partitioned/broadcast join
             sl = self._exec(plan.left)
             sr = self._exec(plan.right)
             try:
@@ -126,7 +130,8 @@ class SpmdExecutor:
                 # shrink: join output capacity (fanout * probe cap) and
                 # shuffle receive buffers otherwise COMPOUND up the plan
                 return dist_join(
-                    sl, sr, plan.on, plan.join_type, plan.filter,
+                    sl, sr, plan.on, plan.join_type,
+                    getattr(plan, "filter", None),
                     broadcast=bcast,
                 ).shrink()
             except ExecutionError:
