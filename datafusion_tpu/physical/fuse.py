@@ -180,14 +180,6 @@ class FuseStages:
             )
             if below.join_type not in types:
                 continue
-            if (
-                not host_on_left
-                and below.filter is not None
-                and below.join_type in ("left", "full")
-            ):
-                # host-right device-outer rides __rowid between the build
-                # and host columns, shifting the residual filter's indices
-                continue
             hchain, hbelow = _fusable_chain(child)
             if hchain is None:
                 hchain, hbelow = [], child

@@ -318,9 +318,26 @@ class MorselJoinStageExec(ExecutionPlan):
             bmem = MemoryExec(btbl2, btbl2.schema())
             per_jt = {"right": "inner", "full": "left"}[jt] if self.host_on_left \
                 else {"left": "inner", "full": "right"}[jt]
+            per_filter = self.join.filter
+            if per_filter is not None and not self.host_on_left:
+                # __rowid sits between the build and host columns; shift
+                # the residual filter's host-side column indices past it
+                import copy
+
+                from ..exprs.physical import PhysCol as _PC
+
+                per_filter = copy.deepcopy(per_filter)
+
+                def _shift(e):
+                    if isinstance(e, _PC) and e.index >= nb:
+                        e.index += 1
+                    for c in e.children():
+                        _shift(c)
+
+                _shift(per_filter)
             per_join = HashJoinExec(
                 self.join.left, self.join.right, self.join.on, per_jt,
-                self.join.filter,
+                per_filter,
             )
             # __rowid is the LAST build column: last overall for host-left,
             # at index nb (before the host cols) for host-right

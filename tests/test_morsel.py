@@ -170,3 +170,53 @@ def test_morsel_join_device_outer(join_ctxs, q):
     a = dev.sql(q).collect().to_pydict()
     b = host.sql(q).collect().to_pydict()
     assert a == b, q
+
+
+def test_morsel_join_host_right_outer_with_filter():
+    """host-RIGHT device-side-outer with a residual filter: the filter's
+    host-side column indices are remapped past the __rowid column (it sits
+    between the build and host columns in the per-morsel join schema)."""
+    from datafusion_tpu.datasource.host import HostMemoryExec, HostTable
+    from datafusion_tpu.exprs.physical import PhysBinary, PhysCol, PhysLit
+    from datafusion_tpu.ops.basic import MemoryExec
+    from datafusion_tpu.ops.join import HashJoinExec
+    from datafusion_tpu.physical.fuse import FuseStages
+    from datafusion_tpu.physical.morsel import MorselJoinStageExec
+    from datafusion_tpu.types import ScalarValue
+    from datafusion_tpu.types.dtypes import BOOL, INT64
+
+    rng = np.random.default_rng(6)
+    ot = Table.from_pydict(
+        {
+            "okey2": (np.arange(300) * 2).astype(np.int64),
+            "cust": rng.integers(0, 40, 300).astype(np.int64),
+        }
+    )
+    lit = Table.from_pydict(
+        {
+            "okey": rng.integers(0, 600, 4000).astype(np.int64),
+            "qty": rng.integers(1, 50, 4000).astype(np.int64),
+        }
+    )
+    hst = HostTable.from_table(lit, morsel_rows=1024)
+    on = [(PhysCol("okey2", 0, INT64), PhysCol("okey", 0, INT64))]
+
+    def filt():
+        return PhysBinary(
+            PhysCol("qty", 3, INT64), ">", PhysLit(ScalarValue.int64(25)), BOOL
+        )
+
+    omem = MemoryExec(ot, ot.schema())
+    join = HashJoinExec(omem, HostMemoryExec(hst, hst.schema()), on, "left", filt())
+    fused = FuseStages().optimize(join)
+    assert isinstance(fused, MorselJoinStageExec) and not fused.host_on_left
+    got = fused.execute()
+    want = HashJoinExec(omem, MemoryExec(lit, lit.schema()), on, "left", filt()).execute()
+
+    def rows(t):
+        return sorted(
+            zip(*t.to_pydict().values()),
+            key=lambda r: tuple((x is None, x) for x in r),
+        )
+
+    assert rows(got) == rows(want)
