@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--block", action="store_true",
                     help="drain the device after every operator so per-op "
                          "elapsed is DEVICE time, not dispatch time")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the warm run "
+                         "into DIR (view with tensorboard/xprof)")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
                     help="HBM speed-of-light for the roofline %% (v5e: 819)")
     args = ap.parse_args()
@@ -72,10 +75,20 @@ def main():
         from datafusion_tpu.columnar.table import HOST_SYNCS
 
         s0 = HOST_SYNCS[0]
-        t0 = time.perf_counter()
-        out = phys.execute()
-        _ = np.asarray(out.columns[-1].data[:1])
-        warm = time.perf_counter() - t0
+        import contextlib
+
+        import jax as _jax
+
+        tracer = (
+            _jax.profiler.trace(args.trace)
+            if args.trace
+            else contextlib.nullcontext()
+        )
+        with tracer:
+            t0 = time.perf_counter()
+            out = phys.execute()
+            _ = np.asarray(out.columns[-1].data[:1])
+            warm = time.perf_counter() - t0
         syncs = HOST_SYNCS[0] - s0
         print(
             f"\n=== q{q}: cold {cold*1e3:.1f} ms, warm {warm*1e3:.1f} ms, "
