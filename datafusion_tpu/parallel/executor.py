@@ -15,7 +15,11 @@ Strategy per node:
                              by group hash -> final (planner.rs:526-601)
 - HashJoin (all SIX types)   dist_join: all_to_all both sides by key hash,
                              local six-type join (hash_join.rs:139-144
-                             PartitionMode::Partitioned)
+                             PartitionMode::Partitioned); small build sides
+                             (<= DFTPU_BCAST_ROWS) auto-select broadcast
+                             mode (CollectLeft, hash_join.rs:285) — build
+                             replicated via all_gather, probes stay local;
+                             MergeJoin lowers through the same path
 - Sort [+ fetch]             dist_sort: sample-based range partition +
                              all_to_all + local sort (TeraSort-style; the
                              reference coalesces to 1 partition instead)
