@@ -46,22 +46,37 @@ def full_suite():
     )
     from bench.tpch import bench as tpch_bench
 
-    timings = tpch_bench(sf, queries, iterations=iters)
-    meds = {q: round(statistics.median(ts) * 1000, 2) for q, ts in timings.items()}
+    host_tables = tuple(
+        x for x in os.environ.get("BENCH_HOST_TABLES", "").split(",") if x
+    )
     import jax
 
+    tag = os.environ.get("BENCH_TAG", "")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench",
+        f"RESULTS_SF{sf:g}{tag}.json",
+    )
     out = {
         "sf": sf,
         "iters": iters,
         "backend": jax.devices()[0].platform,
-        "median_ms": meds,
-        "total_ms": round(sum(meds.values()), 1),
+        "median_ms": {},
+        "total_ms": 0.0,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench", f"RESULTS_SF{sf:g}.json"
-    )
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    if host_tables:
+        out["host_tables"] = list(host_tables)
+
+    def _checkpoint(q, times):
+        # write after EVERY query: a timeout mid-suite keeps what finished
+        out["median_ms"][q] = round(statistics.median(times) * 1000, 2)
+        out["total_ms"] = round(sum(out["median_ms"].values()), 1)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+
+    tpch_bench.on_query_done = _checkpoint
+    tpch_bench(sf, queries, iterations=iters, host_tables=host_tables)
+    meds = out["median_ms"]
     print(f"wrote {path}: total {out['total_ms']} ms over {len(meds)} queries",
           file=sys.stderr)
 

@@ -36,7 +36,44 @@ def get_query_sql(q: int) -> str:
 FULLY_ORDERED = {1, 3, 5, 6, 12, 14, 17, 19}
 
 
-def load_engine_tables(ctx, data):
+def _host_table(cols: dict, dtypes: dict):
+    """Datagen numpy columns -> HostTable with NO device transfer: the
+    out-of-HBM registration path for SF >= 10 benches (SURVEY.md par.7 hard
+    part g; the reference streams scans from disk, parquet.rs:596-636)."""
+    from datafusion_tpu.columnar.dictionary import StringDict
+    from datafusion_tpu.datasource.host import HostTable
+    from datafusion_tpu.types.dtypes import FLOAT64, INT64, STRING
+
+    names, dts, datas, valids, dicts = [], [], [], [], []
+    nrows = 0
+    for name, arr in cols.items():
+        arr = np.asarray(arr)
+        nrows = len(arr)
+        names.append(name)
+        if arr.dtype == object:
+            d, codes, valid = StringDict.from_strings_masked(arr)
+            dts.append(STRING)
+            datas.append(codes)
+            valids.append(valid)
+            dicts.append(d)
+            continue
+        dt = dtypes.get(name) or (
+            FLOAT64 if np.issubdtype(arr.dtype, np.floating) else INT64
+        )
+        if dt.is_decimal:
+            data = np.round(arr * 10**dt.scale).astype(np.int64)
+        else:
+            data = arr.astype(dt.storage_np_dtype(), copy=False)
+        dts.append(dt)
+        datas.append(data)
+        valids.append(np.ones(nrows, dtype=bool))
+        dicts.append(None)
+    return HostTable(names, dts, datas, valids, dicts, nrows)
+
+
+def load_engine_tables(ctx, data, host_tables=()):
+    """Register datagen tables; names in ``host_tables`` stay host-resident
+    and stream through the morsel path instead of living whole in HBM."""
     from datafusion_tpu.columnar.table import Table
     from datafusion_tpu.types.dtypes import DATE32, decimal
 
@@ -49,8 +86,11 @@ def load_engine_tables(ctx, data):
                 dtypes[n] = DATE32
             elif n in DECIMAL_COLUMNS:
                 dtypes[n] = decimal(15, 2)
-        t = Table.from_pydict(cols, dtypes=dtypes)
-        ctx.register_table(tname, t)
+        if tname in host_tables:
+            ctx.register_host_table(tname, _host_table(cols, dtypes))
+        else:
+            t = Table.from_pydict(cols, dtypes=dtypes)
+            ctx.register_table(tname, t)
 
 
 def run_query(ctx, q: int, mesh=None):
@@ -140,15 +180,18 @@ def check(sf: float, queries: list[int], verbose: bool = True, mesh=None) -> dic
     return results
 
 
-def bench(sf: float, queries: list[int], iterations: int = 3) -> dict:
+def bench(
+    sf: float, queries: list[int], iterations: int = 3, host_tables=()
+) -> dict:
     from datafusion_tpu import ExecutionContext
 
     from .tpch_datagen import generate_tpch
 
     data = generate_tpch(sf)
     ctx = ExecutionContext()
-    load_engine_tables(ctx, data)
+    load_engine_tables(ctx, data, host_tables=host_tables)
     timings = {}
+    on_query_done = getattr(bench, "on_query_done", None)
     for q in queries:
         times = []
         for i in range(iterations):
@@ -162,6 +205,8 @@ def bench(sf: float, queries: list[int], iterations: int = 3) -> dict:
             times.append(time.perf_counter() - t0)
         timings[q] = times
         print(f"q{q}: " + ", ".join(f"{x*1000:.1f}ms" for x in times))
+        if on_query_done is not None:
+            on_query_done(q, times)
     return timings
 
 

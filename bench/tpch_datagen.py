@@ -50,10 +50,23 @@ def _date(lo: str, hi: str, rng, n) -> np.ndarray:
     return rng.integers(a, b + 1, n).astype(np.int32)
 
 
+_POOL = 1 << 16
+
+
 def _comments(rng, n, nwords=6) -> np.ndarray:
+    """Random keyword-join comments.  Above _POOL rows, sample from a pool of
+    _POOL distinct strings instead of synthesizing n of them: the Python
+    join loop stays bounded, keyword selectivities (q13 '%special%requests%',
+    q16 '%Customer%Complaints%') are preserved by the pool's randomness, and
+    the object array holds references to 64k shared strings (pickle memo
+    keeps the SF10 cache small)."""
     words = np.array(COMMENT_WORDS)
-    idx = rng.integers(0, len(words), (n, nwords))
-    return np.array([" ".join(row) for row in words[idx]], dtype=object)
+    k = min(n, _POOL)
+    idx = rng.integers(0, len(words), (k, nwords))
+    pool = np.array([" ".join(row) for row in words[idx]], dtype=object)
+    if k == n:
+        return pool
+    return pool[rng.integers(0, k, n)]
 
 
 def _phone(rng, nation, n):
@@ -61,9 +74,14 @@ def _phone(rng, nation, n):
     b = rng.integers(100, 999, n)
     c = rng.integers(100, 999, n)
     d = rng.integers(1000, 9999, n)
-    return np.array(
-        [f"{x}-{y}-{z}-{w}" for x, y, z, w in zip(a, b, c, d)], dtype=object
-    )
+    if n <= _POOL:
+        return np.array(
+            [f"{x}-{y}-{z}-{w}" for x, y, z, w in zip(a, b, c, d)], dtype=object
+        )
+    s = np.char.add(np.char.add(a.astype("U2"), "-"), b.astype("U3"))
+    s = np.char.add(np.char.add(s, "-"), c.astype("U3"))
+    s = np.char.add(np.char.add(s, "-"), d.astype("U4"))
+    return s.astype(object)
 
 
 def generate_tpch(sf: float = 0.01, seed: int = 42) -> dict[str, dict]:
@@ -156,21 +174,35 @@ def _generate_tpch(sf: float, seed: int) -> dict[str, dict]:
          "snow", "spring", "steel", "tan", "tomato", "turquoise", "violet",
          "wheat", "white", "yellow"]
     )
-    pn = names[rng.integers(0, len(names), (n_part, 5))]
+    kp = min(n_part, _POOL)
+    pn = names[rng.integers(0, len(names), (kp, 5))]
+    p_name_pool = np.array([" ".join(r) for r in pn], dtype=object)
+    p_name = (
+        p_name_pool if kp == n_part else p_name_pool[rng.integers(0, kp, n_part)]
+    )
+    # vocab-indexed string columns: same values as per-row f-strings, but one
+    # Python loop over the (tiny) vocabulary instead of over n_part rows
+    mfgr_vocab = np.array([f"Manufacturer#{m}" for m in range(1, 6)], dtype=object)
+    brand_vocab = np.array(
+        [f"Brand#{m}{n}" for m in range(1, 6) for n in range(1, 6)], dtype=object
+    )
+    type_vocab = np.array(
+        [f"{a} {b} {c}" for a in TYPE_S1 for b in TYPE_S2 for c in TYPE_S3],
+        dtype=object,
+    )
+    cont_vocab = np.array(
+        [f"{a} {b}" for a in CONTAINER_S1 for b in CONTAINER_S2], dtype=object
+    )
     out["part"] = {
         "p_partkey": np.arange(1, n_part + 1, dtype=np.int64),
-        "p_name": np.array([" ".join(r) for r in pn], dtype=object),
-        "p_mfgr": np.array([f"Manufacturer#{m}" for m in brand_m], dtype=object),
-        "p_brand": np.array([f"Brand#{m}{n}" for m, n in zip(brand_m, brand_n)], dtype=object),
-        "p_type": np.array(
-            [f"{TYPE_S1[a]} {TYPE_S2[b]} {TYPE_S3[c]}" for a, b, c in zip(t1, t2, t3)],
-            dtype=object,
-        ),
+        "p_name": p_name,
+        "p_mfgr": mfgr_vocab[brand_m - 1],
+        "p_brand": brand_vocab[(brand_m - 1) * 5 + (brand_n - 1)],
+        "p_type": type_vocab[
+            (t1 * len(TYPE_S2) + t2) * len(TYPE_S3) + t3
+        ],
         "p_size": rng.integers(1, 51, n_part).astype(np.int64),
-        "p_container": np.array(
-            [f"{CONTAINER_S1[a]} {CONTAINER_S2[b]}" for a, b in zip(c1, c2)],
-            dtype=object,
-        ),
+        "p_container": cont_vocab[c1 * len(CONTAINER_S2) + c2],
         "p_retailprice": np.round(
             900 + (np.arange(1, n_part + 1) % 1000) / 10
             + 100 * (np.arange(1, n_part + 1) % 10), 2
@@ -218,9 +250,8 @@ def _generate_tpch(sf: float, seed: int) -> dict[str, dict]:
             rng.integers(0, 5, n_ord)
         ],
         "o_clerk": np.array(
-            [f"Clerk#{i:09d}" for i in rng.integers(1, max(n_supp, 2), n_ord)],
-            dtype=object,
-        ),
+            [f"Clerk#{i:09d}" for i in range(1, max(n_supp, 2))], dtype=object
+        )[rng.integers(1, max(n_supp, 2), n_ord) - 1],
         "o_shippriority": np.zeros(n_ord, dtype=np.int64),
         "o_comment": _comments(rng, n_ord),
     }
@@ -245,7 +276,9 @@ def _generate_tpch(sf: float, seed: int) -> dict[str, dict]:
         "l_partkey": l_part.astype(np.int64),
         "l_suppkey": l_supp.astype(np.int64),
         "l_linenumber": (
-            np.concatenate([np.arange(1, c + 1) for c in per_order])
+            np.arange(n_li)
+            - np.repeat(np.cumsum(per_order) - per_order, per_order)
+            + 1
             if n_ord
             else np.zeros(0)
         ).astype(np.int64),

@@ -60,13 +60,33 @@ class StringDict:
 
         ``strings`` may contain None; those get code 0 (masked by validity).
         """
+        d, codes, _ = StringDict.from_strings_masked(strings)
+        return d, codes
+
+    @staticmethod
+    def from_strings_masked(
+        strings,
+    ) -> tuple["StringDict", np.ndarray, np.ndarray]:
+        """(dict, codes, valid) via hash-based factorization.
+
+        O(n) C-speed hashing (pandas factorize) + an O(k log k) sort of the
+        k DISTINCT values only — never a sort or fixed-width unicode copy of
+        all n rows (that path was minutes + ~10 GB at a 60M-row SF10
+        lineitem ingest)."""
+        import pandas as pd
+
         arr = np.asarray(strings, dtype=object)
-        mask = np.array([s is not None for s in arr], dtype=bool)
-        present = arr[mask].astype(str) if mask.any() else np.array([], dtype=str)
-        uniq, inv = np.unique(present, return_inverse=True)
+        inv, uniques = pd.factorize(arr, use_na_sentinel=True)
+        uniq = np.asarray(uniques, dtype=object)
+        valid = inv >= 0
         codes = np.zeros(len(arr), dtype=np.int32)
-        codes[mask] = inv.astype(np.int32)
-        return StringDict(uniq.astype(object)), codes
+        if len(uniq):
+            order = np.argsort(uniq.astype(str), kind="stable")
+            rank = np.empty(len(uniq), dtype=np.int32)
+            rank[order] = np.arange(len(uniq), dtype=np.int32)
+            codes[valid] = rank[inv[valid]]
+            uniq = uniq[order]
+        return StringDict(uniq), codes, valid
 
     def _table(self) -> dict[str, int]:
         if self._lookup is None:

@@ -208,15 +208,13 @@ def _ingest_values(values, dtype: DataType | None) -> tuple[Column, int]:
     n = len(arr)
 
     if dtype is not None and dtype.is_string:
-        d, codes = StringDict.from_strings(list(values))
-        valid = np.array([v is not None for v in values], dtype=bool)
+        d, codes, valid = StringDict.from_strings_masked(values)
         return Column.from_numpy(dtype, codes, valid, d), n
 
     if arr.dtype == object or arr.dtype.kind in ("U", "S"):
         items = list(values)
         if all(isinstance(v, str) or v is None for v in items):
-            d, codes = StringDict.from_strings(items)
-            valid = np.array([v is not None for v in items], dtype=bool)
+            d, codes, valid = StringDict.from_strings_masked(items)
             return Column.from_numpy(STRING, codes, valid, d), n
         # object column of numbers with Nones
         valid = np.array([v is not None and v == v for v in items], dtype=bool)
