@@ -146,7 +146,8 @@ def golden_query(conn, q: int):
     return rows
 
 
-def check(sf: float, queries: list[int], verbose: bool = True, mesh=None) -> dict:
+def check(sf: float, queries: list[int], verbose: bool = True, mesh=None,
+          host_tables=()) -> dict:
     import jax
 
     from datafusion_tpu import ExecutionContext
@@ -156,7 +157,7 @@ def check(sf: float, queries: list[int], verbose: bool = True, mesh=None) -> dic
 
     data = generate_tpch(sf)
     ctx = ExecutionContext()
-    load_engine_tables(ctx, data)
+    load_engine_tables(ctx, data, host_tables=host_tables)
     conn = load_sqlite(data)
 
     results = {}

@@ -398,6 +398,34 @@ class ExecutionContext:
 
     def collect(self, plan: LogicalPlan, mesh=None) -> Table:
         display = [f.name for f in plan.schema().fields]  # pre-optimization names
+        if mesh is not None and isinstance(plan, Explain) and not plan.verbose:
+            # mesh EXPLAIN [ANALYZE]: show the plan and, for ANALYZE, run it
+            # on the mesh and report per-node mode (mesh/broadcast/gather/
+            # fallback) + exchange statistics — the distributed-metrics
+            # analogue of repartition.rs:58-100 shipped in task status
+            from ..ops.basic import ExplainExec
+            from ..parallel.executor import SpmdExecutor
+
+            rows = [("logical_plan", plan.plan.display())]
+            phys_inner = self.create_physical_plan_for_mesh(plan.plan)
+            rows.append(("physical_plan", phys_inner.display()))
+            if plan.analyze:
+                import time as _time
+
+                ex = SpmdExecutor(mesh, analyze=True)
+                t0 = _time.perf_counter()
+                out = ex.execute_plan(phys_inner)
+                elapsed = _time.perf_counter() - t0
+                lines = [
+                    f"output_rows: {out.nrows}",
+                    f"elapsed_s: {elapsed:.6f}",
+                    f"devices: {mesh.devices.size}",
+                    f"error_fallbacks: {ex.fallback_count}",
+                    f"structural_gathers: {ex.gather_count}",
+                ]
+                rows.append(("mesh_metrics", "\n".join(lines)))
+                rows.append(("mesh_plan", ex.explain_rows()))
+            return ExplainExec(plan.schema().to_schema(), rows).execute()
         if mesh is not None and not isinstance(plan, Explain):
             from ..parallel.executor import SpmdExecutor
 

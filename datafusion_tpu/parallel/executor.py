@@ -19,14 +19,21 @@ Strategy per node:
                              (<= DFTPU_BCAST_ROWS) auto-select broadcast
                              mode (CollectLeft, hash_join.rs:285) — build
                              replicated via all_gather, probes stay local;
-                             MergeJoin lowers through the same path
+                             hot keys auto-select the skew-aware hybrid
+                             (observed exchange overflow escalates inside
+                             dist_join — the statistics-driven join-mode
+                             planning of planner.rs:753-851, derived from
+                             the data itself); MergeJoin lowers through
+                             the same path
 - Sort [+ fetch]             dist_sort: sample-based range partition +
                              all_to_all + local sort (TeraSort-style; the
-                             reference coalesces to 1 partition instead)
+                             reference coalesces to 1 partition instead);
+                             fetch composes dist_limit on the range-sorted
+                             shards, so TopK moves <= fetch rows total
 - WindowAgg (PARTITION BY)   dist_window: all_to_all by partition-key hash
                              (whole partitions co-locate), local traced
-                             window per shard; no-PARTITION BY windows fall
-                             back (need a total order)
+                             window per shard; no-PARTITION BY windows
+                             gather (need a total order)
 - Union                      shard-wise concatenation
 - GlobalLimit / Skip         prefix-count truncation per shard (one
                              all_gather of counts; LIMIT moves no data)
@@ -34,12 +41,19 @@ Strategy per node:
                              (the reference's CoalescePartitionsExec
                              equivalent for single-partition-required ops)
 
-Ordering contract: after dist_sort, shard i's rows all order before shard
-i+1's and each shard is locally sorted, so gather-in-shard-order preserves
-the total order (ShardedTable.to_table does exactly that).
+Observability contract: ``node_modes`` records (operator, mode) per plan
+node — mode "mesh"/"broadcast" (distributed), "gather" (structurally
+single-partition, the CoalescePartitions analogue), or "fallback:<error>"
+(a distributed implementation FAILED and the engine degraded to
+gather-and-run-local).  ``strict=True`` (or DFTPU_SPMD_STRICT=1) turns
+error fallbacks into raises so CI catches regressions instead of silently
+losing mesh-native execution.  Only ExecutionError is ever converted into
+a fallback; real runtime/compile errors always propagate.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -72,8 +86,30 @@ class SpmdExecutor:
     callers composing further mesh work.
     """
 
-    def __init__(self, mesh=None, n_devices: int | None = None):
+    def __init__(self, mesh=None, n_devices: int | None = None,
+                 strict: bool | None = None, analyze: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        if strict is None:
+            strict = bool(os.environ.get("DFTPU_SPMD_STRICT"))
+        self.strict = strict
+        # analyze=True additionally records live output-row counts per node
+        # (one tiny count fetch each — EXPLAIN ANALYZE only, not the hot path)
+        self.analyze = analyze
+        # (operator name, mode) per executed node; see module docstring
+        self.node_modes: list[tuple[str, str]] = []
+        # richer per-node record: exchange buckets/capacities/bytes/retries
+        # (the repartition.rs:58-100 / shuffle_writer.rs:260-300 analogue)
+        self.node_details: list[dict] = []
+
+    @property
+    def fallback_count(self) -> int:
+        """Error-driven fallbacks (a dist op failed). 0 on a healthy mesh."""
+        return sum(1 for _, m in self.node_modes if m.startswith("fallback"))
+
+    @property
+    def gather_count(self) -> int:
+        """Structural gathers (single-partition-required operators)."""
+        return sum(1 for _, m in self.node_modes if m == "gather")
 
     # ------------------------------------------------------------------
     def execute_plan(self, plan: ExecutionPlan) -> Table:
@@ -87,165 +123,215 @@ class SpmdExecutor:
         return ShardedTable.from_table(out, self.mesh)
 
     # ------------------------------------------------------------------
+    def _note(self, plan, mode: str, out: "ShardedTable | None" = None):
+        self.node_modes.append((type(plan).__name__, mode))
+        d = {"op": type(plan).__name__, "mode": mode}
+        if isinstance(out, ShardedTable):
+            d["shard_cap"] = out.shard_cap
+            info = dict(getattr(out, "exchange_info", {}))
+            if "op" in info:
+                info["impl"] = info.pop("op")
+            if "mode" in info:
+                info["strategy"] = info.pop("mode")
+            d.update(info)
+            if self.analyze:
+                d["output_rows"] = out.total_rows()
+                counts = np.asarray(out.nrows, dtype=float)
+                mean = counts.sum() / max(len(counts), 1)
+                d["shard_balance"] = (
+                    round(float(counts.max()) / mean, 2) if mean else 1.0
+                )
+        self.node_details.append(d)
+
+    def explain_rows(self) -> str:
+        """One line per executed node for mesh EXPLAIN [ANALYZE]."""
+        lines = []
+        for d in self.node_details:
+            parts = [f"{d['op']} [{d['mode']}]"]
+            for key in (
+                "impl", "strategy", "output_rows", "shard_balance", "shard_cap", "bucket_cap",
+                "recv_cap", "pair_cap", "retries", "exchange_bytes",
+            ):
+                if key in d:
+                    parts.append(f"{key}={d[key]}")
+            lines.append(" ".join(parts))
+        return "\n".join(lines)
+
+    def _failed(self, plan: ExecutionPlan, err: Exception, child_results):
+        """A distributed implementation raised ExecutionError: in strict
+        mode that is a hard failure; otherwise degrade to gather-and-run-
+        local, recording the degradation for EXPLAIN/CI."""
+        if self.strict:
+            raise ExecutionError(
+                f"strict SPMD: {type(plan).__name__} failed to lower onto "
+                f"the mesh: {err}"
+            ) from err
+        self._note(plan, f"fallback:{err}")
+        return self._gather_run(plan, child_results)
+
     def _exec(self, plan: ExecutionPlan) -> ShardedTable:
         if isinstance(plan, FilterExec):
             st = self._exec(plan.input)
             try:
-                return dist_filter(st, plan.predicate).shrink()
-            except Exception:
-                return self._fallback(plan, [st])
+                out = dist_filter(st, plan.predicate).shrink()
+            except ExecutionError as e:
+                return self._failed(plan, e, [st])
+            self._note(plan, "mesh", out)
+            return out
         if isinstance(plan, ProjectionExec):
             st = self._exec(plan.input)
             try:
-                return dist_project(st, plan.exprs)
-            except Exception:
-                return self._fallback(plan, [st])
+                out = dist_project(st, plan.exprs)
+            except ExecutionError as e:
+                return self._failed(plan, e, [st])
+            self._note(plan, "mesh", out)
+            return out
         if isinstance(plan, HashAggregateExec) and plan.mode == "single":
             st = self._exec(plan.input)
-            if any(a.distinct for a in plan.aggr_expr) and plan.group_expr:
+            if any(a.distinct for a in plan.aggr_expr):
+                if not plan.group_expr:
+                    # global DISTINCT: needs the one global value set; the
+                    # gather IS the reference's CoalescePartitions plan
+                    self._note(plan, "gather")
+                    return self._gather_run(plan, [st])
                 # DISTINCT needs the global value set per group: hash-PLACE
                 # raw rows so each group lands whole on one shard, then the
                 # exact single-device aggregate runs per shard
-                out = self._dist_agg_exact_retry(st, plan)
-                if out is not None:
-                    return out
-                return self._fallback(plan, [st])
+                from .ops import dist_aggregate_exact
+
+                try:
+                    out, ovf = dist_aggregate_exact(st, plan)
+                    if ovf > 0:
+                        raise ExecutionError(
+                            "dist_aggregate_exact: bucket overflow persists"
+                        )
+                except ExecutionError as e:
+                    return self._failed(plan, e, [st])
+                out = out.shrink()
+                self._note(plan, "mesh", out)
+                return out
             try:
-                return dist_aggregate(st, plan.group_expr, plan.aggr_expr).shrink()
-            except Exception:
-                return self._fallback(plan, [st])
+                out = dist_aggregate(st, plan.group_expr, plan.aggr_expr).shrink()
+            except ExecutionError as e:
+                return self._failed(plan, e, [st])
+            self._note(plan, "mesh", out)
+            return out
         if isinstance(plan, (HashJoinExec, MergeJoinExec)):
             # MergeJoinExec shares the equi-join contract (on/join_type);
             # its sorted-input hint has no distributed analogue here, so it
             # lowers to the same partitioned/broadcast join
             sl = self._exec(plan.left)
             sr = self._exec(plan.right)
+            # CollectLeft mode for small build sides (hash_join.rs:285):
+            # replicate the build via all_gather, probes stay local — no
+            # all_to_all of the big side at all.  The decision reads only
+            # the build side's STATIC capacity bound (ndev * shard_cap >=
+            # rows, tight after shrink) — zero host syncs at lowering
+            # time, the planner.rs:753-851 statistics decision made from
+            # shape metadata instead of a D2H row count.
+            limit = int(os.environ.get("DFTPU_BCAST_ROWS", 1 << 16))
+            bcast = sr.ndev * sr.shard_cap <= limit
             try:
-                # CollectLeft mode for small build sides (hash_join.rs:285):
-                # replicate the build via all_gather, probes stay local —
-                # no all_to_all of the big side at all
-                import os as _os
-
-                limit = int(_os.environ.get("DFTPU_BCAST_ROWS", 1 << 16))
-                try:
-                    bcast = sr.total_rows() <= limit
-                except Exception:
-                    bcast = False
                 # shrink: join output capacity (fanout * probe cap) and
                 # shuffle receive buffers otherwise COMPOUND up the plan
-                return dist_join(
+                out = dist_join(
                     sl, sr, plan.on, plan.join_type,
                     getattr(plan, "filter", None),
                     broadcast=bcast,
                 ).shrink()
-            except ExecutionError:
-                raise
-            except Exception:
-                return self._fallback(plan, [sl, sr])
+            except ExecutionError as e:
+                return self._failed(plan, e, [sl, sr])
+            self._note(plan, "broadcast" if bcast else "mesh", out)
+            return out
         if isinstance(plan, SortExec):
             st = self._exec(plan.input)
-            out = self._dist_sort_retry(st, plan.sort_exprs)
-            if out is not None:
-                out = out.shrink()
-            if out is None:
-                return self._fallback(plan, [st])
+            try:
+                out, ovf = dist_sort(st, plan.sort_exprs)
+                if ovf > 0:
+                    raise ExecutionError("dist_sort: bucket overflow persists")
+            except ExecutionError as e:
+                return self._failed(plan, e, [st])
+            self._note(plan, "mesh", out)
             if plan.fetch is not None:
-                # TopK: rows are globally ordered across shards; gather and
-                # truncate (live rows sit at the front, so shrinking nrows
-                # is the whole fetch)
-                t = out.to_table()
-                return ShardedTable.from_table(
-                    Table(t.names, t.columns, min(plan.fetch, t.nrows)), self.mesh
-                )
-            return out
+                # TopK: rows are globally ordered across shards, so the
+                # first `fetch` rows are each shard's prefix — dist_limit
+                # truncates per-shard counts (zero data movement) and the
+                # shrink right-sizes capacity, so the eventual gather moves
+                # <= fetch rows instead of the whole sorted table
+                from .ops import dist_limit
+
+                return dist_limit(out, plan.fetch).shrink()
+            return out.shrink()
         if isinstance(plan, WindowAggExec):
             st = self._exec(plan.input)
-            out = self._dist_window_retry(st, plan.window_exprs)
-            if out is not None:
-                return out
-            return self._fallback(plan, [st])
+            pkeys = [
+                tuple(str(p) for p in w.partition_by)
+                for w in plan.window_exprs
+            ]
+            if not all(pkeys) or len(set(pkeys)) != 1:
+                # no PARTITION BY (needs one total order — the reference's
+                # SinglePartition requirement, windows/window_agg_exec.rs)
+                # or mixed PARTITION BY keys in one node (hash placement
+                # can only co-locate one partitioning): gather
+                self._note(plan, "gather")
+                return self._gather_run(plan, [st])
+            from .ops import dist_window
+
+            try:
+                out, ovf = dist_window(st, plan.window_exprs)
+                if ovf > 0:
+                    raise ExecutionError("dist_window: bucket overflow persists")
+            except ExecutionError as e:
+                return self._failed(plan, e, [st])
+            out = out.shrink()
+            self._note(plan, "mesh", out)
+            return out
         if isinstance(plan, UnionExec):
             parts = [self._exec(c) for c in plan.children()]
             gathered = [
                 p.to_table() if isinstance(p, ShardedTable) else p for p in parts
             ]
+            self._note(plan, "mesh")
             return ShardedTable.from_table(
                 concat_tables(gathered, plan.schema()), self.mesh
             )
         if isinstance(plan, (GlobalLimitExec, SkipExec)):
             st = self._exec(plan.children()[0])
-            try:
-                from .ops import dist_limit, dist_skip
+            from .ops import dist_limit, dist_skip
 
+            try:
                 if isinstance(plan, GlobalLimitExec):
-                    return dist_limit(st, plan.n)
-                return dist_skip(st, plan.n)
-            except Exception:
-                return self._fallback(plan, [st])
+                    out = dist_limit(st, plan.n)
+                else:
+                    out = dist_skip(st, plan.n)
+            except ExecutionError as e:
+                return self._failed(plan, e, [st])
+            self._note(plan, "mesh", out)
+            return out
         if not plan.children():
+            from ..datasource.host import HostMemoryExec
+
+            if isinstance(plan, HostMemoryExec):
+                # out-of-HBM scan: shard the host table straight onto the
+                # mesh — each device receives only its N/ndev slice and
+                # the table NEVER materializes on a single device
+                out = ShardedTable.from_host(
+                    plan.projected_host(), self.mesh
+                )
+                self._note(plan, "mesh", out)
+                return out
             # leaf: scan executes on host/single device, then shards
+            self._note(plan, "mesh")
             return ShardedTable.from_table(plan.execute(), self.mesh)
-        return self._fallback(plan, [self._exec(c) for c in plan.children()])
+        self._note(plan, "gather")
+        return self._gather_run(plan, [self._exec(c) for c in plan.children()])
 
     # ------------------------------------------------------------------
-    def _dist_agg_exact_retry(self, st: ShardedTable, plan):
-        from .ops import dist_aggregate_exact
-
-        try:
-            out, ovf = dist_aggregate_exact(st, plan)
-        except Exception:
-            return None
-        if ovf > 0:
-            try:
-                out, ovf = dist_aggregate_exact(
-                    st, plan, bucket_cap=round_capacity(st.shard_cap + ovf)
-                )
-            except Exception:
-                return None
-            if ovf > 0:
-                return None
-        return out.shrink()
-
-    def _dist_window_retry(self, st: ShardedTable, window_exprs):
-        """Partition-hash placement can overflow a shard's receive bucket
-        under hot partitions; right-size one retry, else fall back."""
-        from .ops import dist_window
-
-        try:
-            out, ovf = dist_window(st, window_exprs)
-        except Exception:
-            return None
-        if ovf > 0:
-            try:
-                out, ovf = dist_window(
-                    st, window_exprs,
-                    bucket_cap=round_capacity(st.shard_cap + ovf),
-                )
-            except Exception:
-                return None
-            if ovf > 0:
-                return None
-        return out.shrink()
-
-    def _dist_sort_retry(self, st: ShardedTable, sort_exprs):
-        """Range partitioning can exceed the per-shard bucket under skew;
-        right-size one retry from the reported overflow."""
-        try:
-            out, ovf = dist_sort(st, sort_exprs)
-        except Exception:
-            return None
-        if ovf > 0:
-            out, ovf = dist_sort(
-                st, sort_exprs, bucket_cap=round_capacity(st.shard_cap + ovf)
-            )
-            if ovf > 0:
-                return None
-        return out
-
-    def _fallback(self, plan: ExecutionPlan, child_results) -> ShardedTable:
+    def _gather_run(self, plan: ExecutionPlan, child_results) -> ShardedTable:
         """Gather children to single-device Tables and run the operator's
         single-device implementation (required-single-distribution ops and
-        not-yet-distributed operators)."""
+        not-yet-distributed operators) — the CoalescePartitionsExec
+        equivalent (physical_optimizer/merge_exec.rs)."""
         tables = [
             c.to_table() if isinstance(c, ShardedTable) else c
             for c in child_results

@@ -107,6 +107,49 @@ class ShardedTable:
             shard_cap,
         )
 
+    @staticmethod
+    def from_host(host, mesh: Mesh) -> "ShardedTable":
+        """Shard a HOST-resident table (datasource/host.py HostTable)
+        straight onto the mesh: each device receives only its own N/ndev
+        row slice, and the full table never materializes on any single
+        device — out-of-HBM scans compose with the mesh (the reference
+        streams scans under any plan, parquet.rs:596-636; here the whole
+        mesh is the streaming target and per-chip residency is the
+        shard, not the table)."""
+        ndev = mesh.devices.size
+        n = host.nrows
+        per = -(-max(n, 1) // ndev)  # ceil
+        shard_cap = round_capacity(per)
+        counts = np.minimum(
+            np.maximum(n - per * np.arange(ndev), 0), per
+        ).astype(np.int64)
+        sharding = NamedSharding(mesh, P(AXIS))
+        datas, valids = [], []
+        for d, v in zip(host.datas, host.valids):
+            buf = np.zeros((ndev, shard_cap), dtype=d.dtype)
+            vbuf = np.zeros((ndev, shard_cap), dtype=bool)
+            for i in range(ndev):
+                lo = i * per
+                k = counts[i]
+                buf[i, :k] = d[lo : lo + k]
+                vbuf[i, :k] = v[lo : lo + k]
+            # device_put with a row sharding ships each device ONLY its
+            # (shard_cap,) slice; the (ndev, shard_cap) staging buffer
+            # lives in host RAM like the HostTable itself
+            datas.append(jax.device_put(buf.reshape(-1), sharding))
+            valids.append(jax.device_put(vbuf.reshape(-1), sharding))
+        nrows = jax.device_put(counts, sharding)
+        return ShardedTable(
+            list(host.names),
+            list(host.dtypes),
+            list(host.dicts),
+            datas,
+            valids,
+            nrows,
+            mesh,
+            shard_cap,
+        )
+
     def shrink(self, margin: int = 0) -> "ShardedTable":
         """Right-size shard capacity to the actual live-row maximum.
 
@@ -137,7 +180,7 @@ class ShardedTable:
             )
         )
         out = fn(*self.datas, *self.valids)
-        return ShardedTable(
+        st2 = ShardedTable(
             list(self.names),
             list(self.dtypes),
             list(self.dicts),
@@ -147,6 +190,10 @@ class ShardedTable:
             self.mesh,
             newcap,
         )
+        # carry operator exchange statistics (mesh EXPLAIN ANALYZE)
+        if hasattr(self, "exchange_info"):
+            st2.exchange_info = self.exchange_info
+        return st2
 
     def shard_tables(self) -> list[Table]:
         """One single-device Table per shard (collect_partitioned contract:

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..columnar.column import Column
-from ..columnar.table import Table
+from ..columnar.table import Table, round_capacity
 from ..errors import ExecutionError
 from ..exprs.physical import PhysicalExpr, harmonize_strings
 from ..ops import kernels as K
@@ -42,6 +42,39 @@ from .shuffle import (
     shuffle_exchange_dest,
     shuffle_split,
 )
+
+
+def _attach_info(st: ShardedTable, **info) -> ShardedTable:
+    """Record exchange statistics on the operator's output (surfaced by
+    mesh EXPLAIN ANALYZE — the analogue of the reference's repartition
+    metrics, repartition.rs:58-100 / shuffle_writer.rs:260-300).  All
+    values are trace-time static (bucket sizes, receive capacities, byte
+    volumes); live row counts are added by the executor, which already
+    syncs per-shard counts when right-sizing capacities."""
+    st.exchange_info = dict(info)
+    return st
+
+
+def _exchange_bytes(datas, ndev: int, bucket_cap: int) -> int:
+    """Upper-bound bytes one shard sends through an all_to_all exchange:
+    ndev * bucket_cap slots per column (data + 1-byte valid)."""
+    return sum(
+        ndev * bucket_cap * (d.dtype.itemsize + 1) for d in datas
+    )
+
+
+def default_bucket(shard_cap: int, ndev: int) -> int:
+    """Memory-scalable receive-bucket default (reference repartition.rs:
+    285-330 holds only each partition's share, never the full table).
+
+    Under uniform hashing each source shard sends ~shard_cap/ndev rows to
+    each destination, so a 2x-margin bucket keeps every receive buffer at
+    ndev*B ~= 2*shard_cap ~= 2*N/ndev — per-chip exchange memory and the
+    local join/sort/aggregate working set shrink proportionally as chips
+    are added, instead of staying at ndev*shard_cap = the full table.
+    Skew shows up as shuffle overflow (exact max-deficit counts), which
+    the dist_* operators right-size in ONE retry."""
+    return round_capacity(max(-(-2 * shard_cap // ndev), 1))
 
 
 def _pay_at(pd, pv, pmap, idx):
@@ -187,7 +220,8 @@ def dist_aggregate(
     ndev = st.ndev
     ncols = len(st.datas)
     cap = st.shard_cap
-    B = bucket_cap or cap
+    auto = bucket_cap is None
+    B = bucket_cap or default_bucket(cap, ndev)
 
     # partial state schema
     state_names: list[str] = [n for _, n in group_expr]
@@ -242,7 +276,7 @@ def dist_aggregate(
                 ],
                 [part_v[i] for i in range(nkeys)],
             )
-            sh_d, sh_v, new_n, _ovf = shuffle_by_hash(
+            sh_d, sh_v, new_n, sh_ovf = shuffle_by_hash(
                 part_d, part_v, ngroups.reshape(1), khash, ndev, B
             )
             fcap = ndev * B
@@ -263,6 +297,7 @@ def dist_aggregate(
                 jnp.concatenate([x, jnp.zeros(pad, bool)]) for x in gv
             ]
             new_n = jnp.full((1,), ndev, jnp.int64)
+            sh_ovf = jnp.int32(0)
             fcap = cap
 
         # ---- phase 3: local final aggregate over states ------------------------
@@ -306,6 +341,7 @@ def dist_aggregate(
             out_n = jnp.where(me == 0, 1, 0)
         return (
             jnp.asarray(out_n).reshape(1).astype(jnp.int64),
+            jnp.asarray(sh_ovf).reshape(1).astype(jnp.int64),
             *fin_d,
             *fin_v,
         )
@@ -315,23 +351,40 @@ def dist_aggregate(
         st.mesh,
         body,
         in_specs=_specs(1 + 2 * ncols),
-        out_specs=_specs(1 + 2 * k),
+        out_specs=_specs(2 + 2 * k),
     )
     out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
+    ovf = int(jnp.max(out[1]))
+    if ovf > 0:
+        if not auto:
+            raise ExecutionError(
+                "dist_aggregate: state shuffle overflow at pinned bucket_cap"
+            )
+        # exact deficit: B + ovf can never overflow again
+        return dist_aggregate(
+            st, group_expr, aggr_expr, bucket_cap=round_capacity(B + ovf)
+        )
     nkeys = len(group_expr)
     out_cap = (ndev * B) if nkeys else cap
     dicts = list(_group_dicts(group_expr, st)) + [
         _agg_dict(a, st) for a in aggr_expr
     ]
-    return ShardedTable(
-        out_names,
-        out_dtypes,
-        dicts,
-        list(out[1 : 1 + k]),
-        list(out[1 + k :]),
-        out[0],
-        st.mesh,
-        out_cap,
+    return _attach_info(
+        ShardedTable(
+            out_names,
+            out_dtypes,
+            dicts,
+            list(out[2 : 2 + k]),
+            list(out[2 + k :]),
+            out[0],
+            st.mesh,
+            out_cap,
+        ),
+        op="dist_aggregate",
+        mode="partial+rekey+final" if nkeys else "all_gather_states",
+        bucket_cap=B,
+        recv_cap=out_cap,
+        exchange_bytes=_exchange_bytes(out[2 : 2 + k], ndev, B) if nkeys else 0,
     )
 
 
@@ -398,8 +451,9 @@ def dist_join(
     stays inside the one SPMD program: no host syncs, no retries."""
     ndev = left.ndev
     nl, nr = len(left.datas), len(right.datas)
-    Bl = bucket_cap or left.shard_cap
-    Br = bucket_cap or right.shard_cap
+    auto = bucket_cap is None
+    Bl = bucket_cap or default_bucket(left.shard_cap, ndev)
+    Br = bucket_cap or default_bucket(right.shard_cap, ndev)
     if skew and broadcast:
         raise ExecutionError("dist_join: skew and broadcast are exclusive")
     if skew:
@@ -485,19 +539,21 @@ def dist_join(
                 for v in rv
             ]
             hot_build_n = rnew[0]  # whole build replicated on every shard
+            sh_ovf = jnp.int32(0)
         elif not skew:
             # split shuffle: keys ride the co-sorts, payloads take the
             # late-materialized gather -> all_to_all path whose collectives
             # overlap the probe compute below (double-buffered exchange)
-            lkd, lkv, lmap, lnew, _, lpd, lpv = shuffle_split(
+            lkd, lkv, lmap, lnew, l_ovf, lpd, lpv = shuffle_split(
                 [c.data for c in lkeys], [c.valid for c in lkeys],
                 ld, lv, lnrows, lhash, ndev, Bl,
             )
-            rkd, rkv, rmap, rnew, _, rpd, rpv = shuffle_split(
+            rkd, rkv, rmap, rnew, r_ovf, rpd, rpv = shuffle_split(
                 [c.data for c in rkeys], [c.valid for c in rkeys],
                 rd, rv, rnrows, rhash, ndev, Br,
             )
             hot_build_n = None
+            sh_ovf = jnp.maximum(l_ovf, r_ovf)
         else:
             # skew path shuffles payloads and keys together (hot-row
             # regions need every column in compacted order up front)
@@ -527,7 +583,7 @@ def dist_join(
 
             # probe: hot rows stay local; nonhot all_to_all by hash
             ldest = (lhash % jnp.uint64(ndev)).astype(jnp.int32)
-            sl0_d, sl0_v, lnew0, _ = shuffle_by_dest(
+            sl0_d, sl0_v, lnew0, l_ovf = shuffle_by_dest(
                 lpack_d, lpack_v, l_alive0 & ~lhot, ldest, ndev, Bl
             )
             lh_d, lh_v, nhot_l = K.filter_compact(
@@ -550,7 +606,7 @@ def dist_join(
             # order on every shard — the alignment the outer-join visited
             # reduction below relies on.
             rdest = (rhash % jnp.uint64(ndev)).astype(jnp.int32)
-            sr0_d, sr0_v, rnew0, _ = shuffle_by_dest(
+            sr0_d, sr0_v, rnew0, r_ovf = shuffle_by_dest(
                 rpack_d, rpack_v, r_alive0 & ~rhot, rdest, ndev, Br
             )
             rh_d, rh_v, nhot_r = K.filter_compact(
@@ -572,6 +628,7 @@ def dist_join(
             sr_d, sr_v = list(sr_dt), list(sr_vt)
             rnew = rcnt.reshape(1).astype(jnp.int64)
             hot_build_n = jnp.sum(g_counts)  # H: same value on every shard
+            sh_ovf = jnp.maximum(l_ovf, r_ovf)
             lkd, lkv = sl_d[nl:], sl_v[nl:]
             rkd, rkv = sr_d[nr:], sr_v[nr:]
             lpd, lpv, lmap = sl_d[:nl], sl_v[:nl], None
@@ -618,6 +675,7 @@ def dist_join(
 
         overflow = jnp.maximum(total - pair_cap, 0).reshape(1).astype(jnp.int64)
         tot1 = total.reshape(1).astype(jnp.int64)
+        shov1 = jnp.asarray(sh_ovf).reshape(1).astype(jnp.int64)
 
         from ..ops.join import _any_match_per_probe
 
@@ -631,7 +689,7 @@ def dist_join(
             live = jnp.arange(lcap2) < cnt
             out_d = [K.gather64(d, mpos_c) for d in lpd]
             out_v = [v[mpos_c] & live for v in lpv]
-            return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, *out_d, *out_v)
+            return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, shov1, *out_d, *out_v)
 
         # matched pairs, compacted by one co-sort of the index pairs
         cnt = jnp.sum(ok)
@@ -645,7 +703,7 @@ def dist_join(
         if join_type == "inner":
             outs_d = pl_d + pr_d
             outs_v = [v & pair_live for v in pl_v] + [v & pair_live for v in pr_v]
-            return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, *outs_d, *outs_v)
+            return (cnt.reshape(1).astype(jnp.int64), overflow, tot1, shov1, *outs_d, *outs_v)
 
         # left / right / full outer: matched pairs ++ unmatched side rows
         # padded with nulls, squeezed by ONE compaction co-sort — the same
@@ -698,7 +756,7 @@ def dist_join(
         out_d, out_v, cnt2 = K.filter_compact(
             datas_all, valids_all, alive_all, jnp.int64(alive_all.shape[0])
         )
-        return (cnt2.reshape(1).astype(jnp.int64), overflow, tot1, *out_d, *out_v)
+        return (cnt2.reshape(1).astype(jnp.int64), overflow, tot1, shov1, *out_d, *out_v)
 
     if join_type in ("semi", "anti"):
         ncols_out = nl
@@ -718,23 +776,53 @@ def dist_join(
         left.mesh,
         body,
         in_specs=_specs(2 + 2 * nl + 2 * nr),
-        out_specs=_specs(3 + 2 * ncols_out),
+        out_specs=_specs(4 + 2 * ncols_out),
     )
     out = jax.jit(fn)(
         left.nrows, right.nrows, *left.datas, *left.valids, *right.datas, *right.valids
     )
+    sh_ovf = int(jnp.max(out[3]))
+    if sh_ovf > 0:
+        if not auto:
+            raise ExecutionError(
+                "dist_join: exchange bucket overflow at pinned bucket_cap"
+            )
+        # Exchange bucket overflowed (skew): pick the remedy from the exact
+        # deficit.  A destination shard would need ndev*(B+ovf) receive
+        # slots; if that exceeds 2x an input shard (a shard pulling >2x its
+        # fair share), the key distribution is HOT and the skew-aware
+        # hybrid (hot probes stay local, hot build rows replicate) is the
+        # right plan — the auto-selection the reference derives from
+        # statistics (planner.rs:753-851).  Otherwise one exact-sized
+        # bucket retry restores balance.
+        maxB = max(Bl, Br)
+        need = round_capacity(maxB + sh_ovf)
+        hot = ndev * need > 2 * max(left.shard_cap, right.shard_cap)
+        if hot and not skew:
+            res = dist_join(
+                left, right, on, join_type, filter, fanout,
+                bucket_cap=None, skew=True,
+            )
+        else:
+            res = dist_join(
+                left, right, on, join_type, filter, fanout,
+                bucket_cap=need, skew=skew,
+            )
+        res.exchange_info["retries"] = res.exchange_info.get("retries", 0) + 1
+        return res
     overflow = int(jnp.max(out[1]))
     if overflow > 0:
         if out_cap is not None:
             raise ExecutionError("distributed join output overflow after resize")
         # right-size ONE retry from the exact per-shard candidate totals
         need = int(jnp.max(out[2]))
-        from ..columnar.table import round_capacity
 
-        return dist_join(
+        res = dist_join(
             left, right, on, join_type, filter, fanout, bucket_cap,
             out_cap=round_capacity(max(need, 1)), skew=skew,
         )
+        res.exchange_info["retries"] = res.exchange_info.get("retries", 0) + 1
+        return res
     if join_type in ("semi", "anti"):
         names = list(left.names)
         dtypes = list(left.dtypes)
@@ -743,15 +831,29 @@ def dist_join(
         names = list(left.names) + list(right.names)
         dtypes = list(left.dtypes) + list(right.dtypes)
         dicts = list(left.dicts) + list(right.dicts)
-    return ShardedTable(
-        names,
-        dtypes,
-        dicts,
-        list(out[3 : 3 + ncols_out]),
-        list(out[3 + ncols_out :]),
-        out[0],
-        left.mesh,
-        final_cap,
+    return _attach_info(
+        ShardedTable(
+            names,
+            dtypes,
+            dicts,
+            list(out[4 : 4 + ncols_out]),
+            list(out[4 + ncols_out :]),
+            out[0],
+            left.mesh,
+            final_cap,
+        ),
+        op="dist_join",
+        mode="broadcast" if broadcast else ("skew" if skew else "hash"),
+        bucket_cap=(Bl, Br),
+        recv_cap=(lcap2, rcap2),
+        pair_cap=pair_cap,
+        retries=0,
+        exchange_bytes=(
+            _exchange_bytes(right.datas, 1, ndev * right.shard_cap)
+            if broadcast
+            else _exchange_bytes(left.datas, ndev, Bl)
+            + _exchange_bytes(right.datas, ndev, Br)
+        ),
     )
 
 
@@ -784,7 +886,8 @@ def dist_sort(st: ShardedTable, sort_exprs, bucket_cap: int | None = None):
     ndev = st.ndev
     ncols = len(st.datas)
     cap = st.shard_cap
-    B = bucket_cap or cap
+    auto = bucket_cap is None
+    B = bucket_cap or default_bucket(cap, ndev)
     s0 = sort_exprs[0]
     S = _SORT_SAMPLES
 
@@ -874,6 +977,15 @@ def dist_sort(st: ShardedTable, sort_exprs, bucket_cap: int | None = None):
     )
     out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
     nrows, overflow, rest = out[0], out[1], out[2:]
+    ovf = int(jnp.max(overflow))
+    if ovf > 0 and auto:
+        # sampled range boundaries put more than B rows of one shard into
+        # one range (value skew): ONE exact-deficit retry
+        st2, r_ovf = dist_sort(
+            st, sort_exprs, bucket_cap=round_capacity(B + ovf)
+        )
+        st2.exchange_info["retries"] = st2.exchange_info.get("retries", 0) + 1
+        return st2, r_ovf
     new_cap = ndev * B
     st2 = ShardedTable(
         list(st.names),
@@ -885,7 +997,16 @@ def dist_sort(st: ShardedTable, sort_exprs, bucket_cap: int | None = None):
         st.mesh,
         new_cap,
     )
-    return st2, int(jnp.max(overflow))
+    _attach_info(
+        st2,
+        op="dist_sort",
+        mode="range",
+        bucket_cap=B,
+        recv_cap=new_cap,
+        retries=0,
+        exchange_bytes=_exchange_bytes(st.datas, ndev, B),
+    )
+    return st2, ovf
 
 
 # ---------------------------------------------------------------------------
@@ -919,7 +1040,8 @@ def dist_window(st: ShardedTable, window_exprs, bucket_cap: int | None = None):
     ndev = st.ndev
     ncols = len(st.datas)
     cap = st.shard_cap
-    B = bucket_cap or cap
+    auto = bucket_cap is None
+    B = bucket_cap or default_bucket(cap, ndev)
     fcap = ndev * B
     op = WindowAggExec(list(window_exprs), None)
 
@@ -957,6 +1079,14 @@ def dist_window(st: ShardedTable, window_exprs, bucket_cap: int | None = None):
     )
     out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
     nrows, overflow, rest = out[0], out[1], out[2:]
+    ovf = int(jnp.max(overflow))
+    if ovf > 0 and auto:
+        # hot PARTITION BY key: one exact-deficit retry
+        st2, r_ovf = dist_window(
+            st, window_exprs, bucket_cap=round_capacity(B + ovf)
+        )
+        st2.exchange_info["retries"] = st2.exchange_info.get("retries", 0) + 1
+        return st2, r_ovf
     out_names = list(st.names) + [w.name for w in window_exprs]
     out_dtypes = list(st.dtypes) + [w.dtype for w in window_exprs]
     out_dicts = list(st.dicts) + [_win_dict(w, st) for w in window_exprs]
@@ -970,7 +1100,16 @@ def dist_window(st: ShardedTable, window_exprs, bucket_cap: int | None = None):
         st.mesh,
         fcap,
     )
-    return st2, int(jnp.max(overflow))
+    _attach_info(
+        st2,
+        op="dist_window",
+        mode="partition_hash",
+        bucket_cap=B,
+        recv_cap=fcap,
+        retries=0,
+        exchange_bytes=_exchange_bytes(st.datas, ndev, B),
+    )
+    return st2, ovf
 
 
 def _win_dict(w, st: ShardedTable):
@@ -1085,7 +1224,8 @@ def dist_aggregate_exact(
     ndev = st.ndev
     ncols = len(st.datas)
     cap = st.shard_cap
-    B = bucket_cap or cap
+    auto = bucket_cap is None
+    B = bucket_cap or default_bucket(cap, ndev)
     fcap = ndev * B
 
     out_names = [n for _, n in group_expr] + [a.name for a in aggr_expr]
@@ -1128,6 +1268,14 @@ def dist_aggregate_exact(
     )
     out = jax.jit(fn)(st.nrows, *st.datas, *st.valids)
     nrows, overflow, rest = out[0], out[1], out[2:]
+    ovf = int(jnp.max(overflow))
+    if ovf > 0 and auto:
+        # hot group key under raw-row placement: one exact-deficit retry
+        st2, r_ovf = dist_aggregate_exact(
+            st, op, bucket_cap=round_capacity(B + ovf)
+        )
+        st2.exchange_info["retries"] = st2.exchange_info.get("retries", 0) + 1
+        return st2, r_ovf
     dicts = list(_group_dicts(group_expr, st)) + [
         _agg_dict(a, st) for a in aggr_expr
     ]
@@ -1141,4 +1289,13 @@ def dist_aggregate_exact(
         st.mesh,
         fcap,
     )
-    return st2, int(jnp.max(overflow))
+    _attach_info(
+        st2,
+        op="dist_aggregate_exact",
+        mode="group_hash_placement",
+        bucket_cap=B,
+        recv_cap=fcap,
+        retries=0,
+        exchange_bytes=_exchange_bytes(st.datas, ndev, B),
+    )
+    return st2, ovf

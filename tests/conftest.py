@@ -8,6 +8,11 @@ no backend has been used yet."""
 
 import os
 
+# mesh runs in tests are STRICT: a distributed operator failing to lower
+# raises instead of silently degrading to gather-and-run-local, so a broken
+# dist op fails the suite rather than hiding behind the fallback path
+os.environ.setdefault("DFTPU_SPMD_STRICT", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

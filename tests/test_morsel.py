@@ -220,3 +220,43 @@ def test_morsel_join_host_right_outer_with_filter():
         )
 
     assert rows(got) == rows(want)
+
+
+def test_host_resident_tpch_on_mesh_never_materializes():
+    """Out-of-HBM composes with the mesh (reference streams scans under ANY
+    plan, parquet.rs:596-636): host-resident lineitem at an SF exceeding a
+    single shard's capacity runs q1 (fused aggregate) and q18 (join-heavy,
+    group-by + semi-join shape) golden-exact on the 8-device mesh, and the
+    full table NEVER materializes on one device — ShardedTable.from_host
+    ships each device only its N/ndev slice."""
+    import jax
+
+    from bench.tpch import check
+    from datafusion_tpu.datasource.host import HostTable
+    from datafusion_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-virtual-device mesh")
+
+    materialized = []
+    orig = HostTable.materialize
+
+    def spy(self):
+        materialized.append(self.nrows)
+        return orig(self)
+
+    HostTable.materialize = spy
+    try:
+        res = check(
+            0.01, [1, 18], verbose=False, mesh=make_mesh(8),
+            host_tables=("lineitem",),
+        )
+    finally:
+        HostTable.materialize = orig
+    assert res[1] is None, f"q1: {res[1]}"
+    assert res[18] is None, f"q18: {res[18]}"
+    assert not materialized, (
+        f"host table materialized on a single device: {materialized}"
+    )

@@ -441,3 +441,79 @@ def test_dist_join_broadcast(jt):
     ).to_table()
     want = join_tables(lt, rt, on, jt, None)
     assert sorted_rows(out) == sorted_rows(want)
+
+
+@needs_devices
+def test_join_skew_auto_selected_end_to_end(monkeypatch):
+    """90%-hot-key join through ctx.sql(...).collect(mesh=...) with NO
+    opt-in kwarg: the partitioned join's scalable exchange buckets
+    (default_bucket ~ 2*shard_cap/ndev) overflow on the hot key, and
+    dist_join escalates to the skew-aware hybrid from the observed
+    deficit — the statistics-driven join-mode selection of
+    planner.rs:753-851, derived from the data itself.  Result must match
+    the single-device engine and output shards must stay balanced."""
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.parallel.executor import SpmdExecutor
+
+    # build side too big for broadcast mode at this threshold
+    monkeypatch.setenv("DFTPU_BCAST_ROWS", "1")
+
+    rng = np.random.default_rng(7)
+    n = 140_000  # shard_cap 16384 > the 4096 capacity floor, so the
+    # scalable default bucket (2*shard_cap/ndev = 4096+) is actually
+    # smaller than shard_cap and hot keys really overflow it
+    keys = np.where(rng.random(n) < 0.9, 0, rng.integers(1, 64, n)).astype(
+        np.int64
+    )
+    probe = Table.from_pydict(
+        {"k": keys, "v": rng.integers(0, 1000, n).astype(np.int64)}
+    )
+    build = Table.from_pydict(
+        {
+            "k2": np.arange(64, dtype=np.int64),
+            "w": (np.arange(64, dtype=np.int64) * 10),
+        }
+    )
+    ctx = ExecutionContext()
+    ctx.register_table("probe", probe)
+    ctx.register_table("build", build)
+    sql = "SELECT k, v, w FROM probe JOIN build ON k = k2"
+
+    mesh = make_mesh(8)
+    phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(sql))
+    ex = SpmdExecutor(mesh, strict=True)
+    out_sh = ex.execute_sharded(phys)
+    assert ex.fallback_count == 0
+    assert any(m == "mesh" for op, m in ex.node_modes if "Join" in op)
+
+    # balanced: no shard holds more than 2x its fair share of the output
+    counts = np.asarray(out_sh.nrows).astype(float)
+    assert counts.max() <= 2.0 * counts.sum() / len(counts)
+
+    got = out_sh.to_table().to_pydict()
+    want = ctx.sql(sql).collect().to_pydict()
+    assert sorted(zip(*got.values())) == sorted(zip(*want.values()))
+
+
+@needs_devices
+def test_mesh_explain_analyze_reports_exchange_metrics():
+    """EXPLAIN ANALYZE over a mesh surfaces per-node lowering mode and
+    exchange statistics (bucket sizes, receive capacities, bytes, retries,
+    fallback counts) — the distributed-metrics analogue of the reference's
+    repartition.rs:58-100 metrics shipped in task status."""
+    from datafusion_tpu import ExecutionContext
+
+    ctx = ExecutionContext()
+    ctx.register_table("t", table(800))
+    out = ctx.sql(
+        "EXPLAIN ANALYZE SELECT k, sum(v) AS s FROM t GROUP BY k ORDER BY k"
+    ).collect(mesh=make_mesh(8))
+    d = out.to_pydict()
+    rows = dict(zip(d["plan_type"], d["plan"]))
+    assert "mesh_metrics" in rows and "mesh_plan" in rows
+    assert "error_fallbacks: 0" in rows["mesh_metrics"]
+    mp = rows["mesh_plan"]
+    assert "HashAggregateExec [mesh]" in mp
+    assert "SortExec [mesh]" in mp
+    assert "bucket_cap=" in mp and "exchange_bytes=" in mp
+    assert "output_rows=" in mp and "shard_balance=" in mp
