@@ -73,8 +73,13 @@ def default_bucket(shard_cap: int, ndev: int) -> int:
     local join/sort/aggregate working set shrink proportionally as chips
     are added, instead of staying at ndev*shard_cap = the full table.
     Skew shows up as shuffle overflow (exact max-deficit counts), which
-    the dist_* operators right-size in ONE retry."""
-    return round_capacity(max(-(-2 * shard_cap // ndev), 1))
+    the dist_* operators right-size in ONE retry.  Clamped to shard_cap:
+    a source shard can never send more than its own row count to one
+    destination, so larger buckets are pure padding."""
+    return min(
+        round_capacity(max(-(-2 * shard_cap // ndev), 1)),
+        round_capacity(shard_cap),
+    )
 
 
 def _pay_at(pd, pv, pmap, idx):
