@@ -66,10 +66,20 @@ def full_suite():
     }
     if host_tables:
         out["host_tables"] = list(host_tables)
+    # resume: merge with an existing record (same backend) so a sweep cut
+    # off by a timeout can be continued with BENCH_QUERIES=<rest>
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("backend") == out["backend"] and prev.get("sf") == sf:
+                out["median_ms"].update(prev.get("median_ms", {}))
+        except Exception:
+            pass
 
     def _checkpoint(q, times):
         # write after EVERY query: a timeout mid-suite keeps what finished
-        out["median_ms"][q] = round(statistics.median(times) * 1000, 2)
+        out["median_ms"][str(q)] = round(statistics.median(times) * 1000, 2)
         out["total_ms"] = round(sum(out["median_ms"].values()), 1)
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)

@@ -65,15 +65,6 @@ class ExecutionConfig:
         return self
 
 
-def _pin_joins_exact(plan) -> None:
-    from ..ops.join import HashJoinExec
-
-    if isinstance(plan, HashJoinExec):
-        plan._force_exact = True
-    for c in plan.children():
-        _pin_joins_exact(c)
-
-
 def default_optimizer_rules() -> list:
     """Default logical pipeline (mirrors context.rs:685-695's list, adapted:
     decorrelation + cross-join elimination are load-bearing here)."""
@@ -448,9 +439,10 @@ class ExecutionContext:
             out = phys.execute()
         if w.overflowed():
             # a speculatively-sized join overflowed (fan-out beyond probe
-            # capacity): re-execute with exact sizing, and pin this cached
-            # plan's joins to exact so repeated runs don't re-overflow
-            _pin_joins_exact(phys)
+            # capacity): re-execute with exact sizing.  The exact run
+            # LEARNS each join's output capacity (ops/join.py "CAP" cache),
+            # so repeated runs of this plan speculate at the learned size —
+            # zero join syncs in the steady state, any fan-out.
             with K.spec_exact():
                 out = phys.execute()
         # final output uses unqualified display names (keep the row count

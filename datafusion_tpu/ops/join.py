@@ -263,24 +263,34 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
     rv = tuple(c.valid for c in rt.columns)
     nl, nr = lt.nrows_dev, rt.nrows_dev
     lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
-    if (
-        K.spec_active()
-        and not force_exact
-        and join_type in ("inner", "semi", "anti")
-        and lcap <= SHRINK_SYNC_MIN_CAP
-    ):
-        # speculative sizing: probe-capacity output, overflow flag checked
-        # once per query by the speculation window (kernels.py note) —
-        # ZERO host syncs in this join.  Only below SHRINK_SYNC_MIN_CAP:
-        # phase B's expand/verify/compact all run at out_cap, so for a
-        # selective join over a large probe (q17: 778 pairs from a 1M-cap
-        # probe) sizing at lcap wastes orders of magnitude more compute
-        # than the one ~28 ms sync the exact path costs.
-        out_cap = lcap
+    # speculative sizing: pick a static output capacity WITHOUT reading
+    # total_dev (a blocking D2H sync that also drains the dispatch
+    # pipeline — ~28 ms + lost overlap per join through the TPU tunnel);
+    # the overflow flag is checked once per query by the speculation
+    # window (kernels.py note), which reruns exactly if any join
+    # overflowed.  Two sources of a speculative capacity:
+    #   - a LEARNED capacity from a previous exact-sized run of this same
+    #     join shape (repeated queries: steady state is zero syncs for
+    #     every join type, any fan-out)
+    #   - probe capacity, for fan-out<=1 types over small probes: only
+    #     below SHRINK_SYNC_MIN_CAP because phase B runs entirely at
+    #     out_cap, so a selective join over a large probe (q17: 778 pairs
+    #     from a 1M-cap probe) would waste orders of magnitude more
+    #     compute than the one sync the exact path costs.
+    spec_cap = None
+    if K.spec_active() and not force_exact:
+        learned = _cache_get(("CAP",) + base_key)
+        if learned is not None:
+            spec_cap = learned
+        elif join_type in ("inner", "semi", "anti") and lcap <= SHRINK_SYNC_MIN_CAP:
+            spec_cap = lcap
+    if spec_cap is not None:
+        out_cap = spec_cap
         K.spec_record((total_dev > out_cap).astype(jnp.int32))
     else:
         total = int(total_dev)  # the join's ONE host sync: sizes the output
         out_cap = round_capacity(max(total, 1))
+        _cache_put(("CAP",) + base_key, out_cap)
         if metrics is not None:
             metrics.counter("join_candidates").add(total)
 
