@@ -68,7 +68,6 @@ from ..ops.basic import (
     ProjectionExec,
     SkipExec,
     UnionExec,
-    concat_tables,
 )
 from ..ops.join import HashJoinExec
 from ..ops.sorted import MergeJoinExec
@@ -288,13 +287,14 @@ class SpmdExecutor:
             return out
         if isinstance(plan, UnionExec):
             parts = [self._exec(c) for c in plan.children()]
-            gathered = [
-                p.to_table() if isinstance(p, ShardedTable) else p for p in parts
-            ]
-            self._note(plan, "mesh")
-            return ShardedTable.from_table(
-                concat_tables(gathered, plan.schema()), self.mesh
-            )
+            from .ops import dist_union
+
+            try:
+                out = dist_union(parts, plan.schema()).shrink()
+            except ExecutionError as e:
+                return self._failed(plan, e, parts)
+            self._note(plan, "mesh", out)
+            return out
         if isinstance(plan, (GlobalLimitExec, SkipExec)):
             st = self._exec(plan.children()[0])
             from .ops import dist_limit, dist_skip

@@ -1134,6 +1134,128 @@ def _win_dict(w, st: ShardedTable):
 
 
 # ---------------------------------------------------------------------------
+# UNION on the mesh
+# ---------------------------------------------------------------------------
+
+
+def dist_union(parts: list[ShardedTable], schema) -> ShardedTable:
+    """Shard-wise UNION ALL: each shard concatenates its own segments of
+    every input and compacts with one co-sort — no gather, no host round
+    trip (UnionExec just concatenates child partition lists, union.rs:34;
+    the shard IS the partition here).
+
+    Casting to the target schema and string-dictionary merging happen at
+    trace time (elementwise LUT remaps on the sharded arrays), mirroring
+    the single-device concat_tables."""
+    from ..exprs.physical import CVec, cast_column
+
+    mesh = parts[0].mesh
+    fields = schema.fields
+    # per-field: cast every part's column, then merge dictionaries
+    col_data: list[list[jnp.ndarray]] = []   # [field][part]
+    col_valid: list[list[jnp.ndarray]] = []
+    out_dicts = []
+    for i, f in enumerate(fields):
+        pieces = [
+            cast_column(
+                CVec(p.dtypes[i], p.datas[i], p.valids[i], p.dicts[i]), f.dtype
+            )
+            for p in parts
+        ]
+        if f.dtype.is_string:
+            from ..columnar.dictionary import StringDict
+
+            val_arrays = [
+                c.dictionary.values.astype(str)
+                for c in pieces
+                if c.dictionary is not None and len(c.dictionary) > 0
+            ]
+            all_vals = (
+                np.unique(np.concatenate(val_arrays))
+                if val_arrays
+                else np.array([], dtype=str)
+            )
+            merged = StringDict(all_vals.astype(object))
+            remapped = []
+            for c in pieces:
+                if c.dictionary is None or len(c.dictionary) == 0:
+                    remapped.append(c)
+                    continue
+                lut = np.searchsorted(
+                    all_vals, c.dictionary.values.astype(str)
+                ).astype(np.int32)
+                d2 = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+                remapped.append(CVec(f.dtype, d2, c.valid, merged))
+            pieces = remapped
+            out_dicts.append(merged)
+        else:
+            out_dicts.append(None)
+        col_data.append([c.data for c in pieces])
+        col_valid.append([c.valid for c in pieces])
+
+    caps = [p.shard_cap for p in parts]
+    out_cap = round_capacity(sum(caps))
+    nparts = len(parts)
+    nf = len(fields)
+
+    def body(*arrays):
+        nrows = arrays[:nparts]
+        flat = arrays[nparts:]
+        # flat layout: for each field, nparts datas; then for each field,
+        # nparts valids
+        seg_alive = jnp.concatenate(
+            [jnp.arange(caps[p]) < nrows[p][0] for p in range(nparts)]
+        )
+        pad = out_cap - seg_alive.shape[0]
+        if pad:
+            seg_alive = jnp.concatenate([seg_alive, jnp.zeros(pad, bool)])
+        datas, valids = [], []
+        for i in range(nf):
+            d = jnp.concatenate(list(flat[i * nparts : (i + 1) * nparts]))
+            v = jnp.concatenate(
+                list(flat[(nf + i) * nparts : (nf + i + 1) * nparts])
+            )
+            if pad:
+                d = jnp.concatenate([d, jnp.zeros(pad, d.dtype)])
+                v = jnp.concatenate([v, jnp.zeros(pad, bool)])
+            datas.append(d)
+            valids.append(v & seg_alive)
+        out_d, out_v, cnt = K.filter_compact(
+            tuple(datas), tuple(valids), seg_alive, jnp.int64(out_cap)
+        )
+        return (cnt.reshape(1).astype(jnp.int64), *out_d, *out_v)
+
+    fn = _shard_map(
+        mesh,
+        body,
+        in_specs=_specs(nparts + 2 * nf * nparts),
+        out_specs=_specs(1 + 2 * nf),
+    )
+    flat_in = (
+        [p.nrows for p in parts]
+        + [col_data[i][p] for i in range(nf) for p in range(nparts)]
+        + [col_valid[i][p] for i in range(nf) for p in range(nparts)]
+    )
+    out = jax.jit(fn)(*flat_in)
+    return _attach_info(
+        ShardedTable(
+            [f.name for f in fields],
+            [f.dtype for f in fields],
+            out_dicts,
+            list(out[1 : 1 + nf]),
+            list(out[1 + nf :]),
+            out[0],
+            mesh,
+            out_cap,
+        ),
+        op="dist_union",
+        mode="shard_concat",
+        recv_cap=out_cap,
+        exchange_bytes=0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # LIMIT / OFFSET on the mesh
 # ---------------------------------------------------------------------------
 

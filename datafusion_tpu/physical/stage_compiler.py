@@ -138,6 +138,9 @@ class CompiledStage:
         self.chain = list(reversed(chain))
         self.out_schema = plan.schema()
         self._jit_variants: dict = {}
+        # learned output capacity (plan-owned source only): lets repeated
+        # runs right-size without the count sync — see execute()
+        self._learned_cap: int | None = None
         self._dict_cache: dict = {}
         if not self.dynamic:
             # learn output dictionaries from a dry evaluation
@@ -205,6 +208,7 @@ class CompiledStage:
 
     # ------------------------------------------------------------------
     def execute(self, shrink: bool = True, src: Table | None = None) -> Table:
+        owned_source = src is None
         if src is None:
             src = self.source.execute()
         datas = tuple(c.data for c in src.columns)
@@ -237,9 +241,27 @@ class CompiledStage:
         ]
         t = Table(self.out_schema.names(), cols, nout)
         if shrink:
-            # downstream operators compile per capacity: pay one count sync
-            # to right-size the buffers they will see
+            # downstream operators compile per capacity: right-size the
+            # buffers they will see.  The first run pays one count sync and
+            # LEARNS the capacity; repeated runs of the same plan truncate
+            # to the learned size with zero syncs, recording an overflow
+            # flag into the speculation window (same contract as the
+            # learned join capacities, ops/join.py) so data growth reruns
+            # exactly instead of silently losing rows.  Morsel-fed stages
+            # (src=) keep the per-call sync: morsel live counts vary.
+            if owned_source and K.spec_active() and self._learned_cap is not None:
+                learned = self._learned_cap
+                if learned < t.capacity:
+                    K.spec_record((t.nrows_dev > learned).astype(jnp.int32))
+                    t = Table(
+                        t.names,
+                        [c.with_capacity(learned) for c in t.columns],
+                        jnp.minimum(t.nrows_dev, learned),
+                    )
+                return t
             tgt = round_capacity(t.nrows)
+            if owned_source:
+                self._learned_cap = tgt
             if tgt < t.capacity:
                 t = t.with_capacity(tgt)
         return t

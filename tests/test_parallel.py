@@ -517,3 +517,34 @@ def test_mesh_explain_analyze_reports_exchange_metrics():
     assert "SortExec [mesh]" in mp
     assert "bucket_cap=" in mp and "exchange_bytes=" in mp
     assert "output_rows=" in mp and "shard_balance=" in mp
+
+
+@needs_devices
+def test_dist_union_shard_wise(monkeypatch):
+    """UNION [ALL] lowers shard-wise (each shard concatenates its own
+    segments; union.rs:34 concatenates partition lists) — no gather, with
+    string-dictionary merging across inputs, golden vs single device."""
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.parallel.executor import SpmdExecutor
+
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "a", Table.from_pydict({"k": ["x", "y", None], "v": [1, 2, 3]})
+    )
+    ctx.register_table(
+        "b", Table.from_pydict({"k": ["y", "z"], "v": [20, 30]})
+    )
+    mesh = make_mesh(8)
+    for sql in (
+        "SELECT k, v FROM a UNION ALL SELECT k, v FROM b",
+        "SELECT k, v FROM a UNION SELECT k, v FROM b",
+    ):
+        phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(sql))
+        ex = SpmdExecutor(mesh, strict=True)
+        got = ex.execute_plan(phys).to_pydict()
+        assert any(
+            op == "UnionExec" and m == "mesh" for op, m in ex.node_modes
+        ), ex.node_modes
+        want = ctx.sql(sql).collect().to_pydict()
+        key = lambda rows: sorted(zip(*rows.values()), key=repr)
+        assert key(got) == key(want), sql
