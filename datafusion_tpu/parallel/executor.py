@@ -12,7 +12,11 @@ Strategy per node:
                              reference's RoundRobinBatch repartition)
 - Filter / Projection        shard-local (dist_filter / dist_project)
 - HashAggregate (single)     dist_aggregate: partial -> all_to_all re-key
-                             by group hash -> final (planner.rs:526-601)
+                             by group hash -> final (planner.rs:526-601);
+                             global DISTINCT places rows by the hash of
+                             the DISTINCT argument first (local dedup
+                             becomes global), grouped DISTINCT uses
+                             dist_aggregate_exact row placement
 - HashJoin (all SIX types)   dist_join: all_to_all both sides by key hash,
                              local six-type join (hash_join.rs:139-144
                              PartitionMode::Partitioned); small build sides
@@ -189,10 +193,30 @@ class SpmdExecutor:
             st = self._exec(plan.input)
             if any(a.distinct for a in plan.aggr_expr):
                 if not plan.group_expr:
-                    # global DISTINCT: needs the one global value set; the
-                    # gather IS the reference's CoalescePartitions plan
-                    self._note(plan, "gather")
-                    return self._gather_run(plan, [st])
+                    # global DISTINCT: dist_aggregate pre-places rows by
+                    # the hash of the DISTINCT argument (disjoint value
+                    # sets per shard -> local dedup is global).  Mixed
+                    # distinct arguments have no single placement — that
+                    # is a STRUCTURAL gather, not a failure
+                    dargs = {
+                        str(a.expr)
+                        for a in plan.aggr_expr
+                        if a.distinct
+                    }
+                    if len(dargs) != 1 or any(
+                        a.distinct and a.expr is None
+                        for a in plan.aggr_expr
+                    ):
+                        self._note(plan, "gather")
+                        return self._gather_run(plan, [st])
+                    try:
+                        out = dist_aggregate(
+                            st, plan.group_expr, plan.aggr_expr
+                        ).shrink()
+                    except ExecutionError as e:
+                        return self._failed(plan, e, [st])
+                    self._note(plan, "mesh", out)
+                    return out
                 # DISTINCT needs the global value set per group: hash-PLACE
                 # raw rows so each group lands whole on one shard, then the
                 # exact single-device aggregate runs per shard

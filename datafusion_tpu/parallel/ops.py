@@ -214,14 +214,29 @@ def dist_aggregate(
     bucket_cap: int | None = None,
 ) -> ShardedTable:
     """partial local agg -> all_to_all by group-key hash -> final local agg,
-    fused into one jitted SPMD program."""
-    if any(a.distinct for a in aggr_expr):
-        # scalar partial states over-count values repeated across shards
-        # (the single-device path dedups globally); the SPMD executor's
-        # fallback gathers and runs the exact single-device aggregate
-        raise ExecutionError(
-            "dist_aggregate: DISTINCT aggregates require global dedup"
-        )
+    fused into one jitted SPMD program.
+
+    Global DISTINCT (no group keys): scalar partial states would over-count
+    values repeated across shards (the reference keeps the value SET as
+    state, distinct_expressions.rs), so rows first all_to_all by the hash
+    of the DISTINCT argument — every copy of a value lands on ONE shard,
+    the local dedup (_distinct_mask) becomes a global dedup, and the
+    partial states merge exactly like non-distinct ones.  Requires all
+    DISTINCT aggregates to share one argument expression (the common
+    COUNT(DISTINCT x) shape); mixed arguments fall back to a gather.
+    Grouped DISTINCT goes through dist_aggregate_exact instead."""
+    distinct_aggs = [a for a in aggr_expr if a.distinct]
+    pre_expr = None
+    if distinct_aggs:
+        dargs = {str(a.expr) for a in distinct_aggs}
+        if group_expr or len(dargs) != 1 or any(
+            a.expr is None for a in distinct_aggs
+        ):
+            raise ExecutionError(
+                "dist_aggregate: DISTINCT requires a single shared argument "
+                "and no group keys (grouped DISTINCT uses row placement)"
+            )
+        pre_expr = distinct_aggs[0].expr
     ndev = st.ndev
     ncols = len(st.datas)
     cap = st.shard_cap
@@ -245,17 +260,32 @@ def dist_aggregate(
         valids = list(arrays[ncols:])
         t = _local_view(st, datas, valids)
         nloc = nrows[0]
+        pcap = cap
+        pre_ovf = jnp.int32(0)
+
+        # ---- phase 0 (global DISTINCT only): place rows by value hash --------
+        if pre_expr is not None:
+            dv = pre_expr.evaluate(t)
+            vhash = K.hash_columns(
+                [K.hashable_key(dv.data, dv.dtype)], [dv.valid]
+            )
+            datas, valids, new_nr, pre_ovf = shuffle_by_hash(
+                datas, valids, nrows, vhash, ndev, B
+            )
+            t = _local_view(st, datas, valids)
+            nloc = new_nr[0]
+            pcap = ndev * B
 
         # ---- phase 1: local partial aggregate --------------------------------
         key_cols = [e.evaluate(t) for e, _ in group_expr]
         if key_cols:
             perm, gid, ngroups, sorted_keys = _group_rows(key_cols, nloc)
         else:
-            perm = jnp.arange(cap)
-            gid = jnp.where(jnp.arange(cap) < nloc, 0, cap - 1)
+            perm = jnp.arange(pcap)
+            gid = jnp.where(jnp.arange(pcap) < nloc, 0, pcap - 1)
             ngroups = jnp.where(nloc >= 0, 1, 1)
             sorted_keys = []
-        alive_sorted = jnp.arange(cap) < nloc
+        alive_sorted = jnp.arange(pcap) < nloc
 
         part_d: list[jnp.ndarray] = []
         part_v: list[jnp.ndarray] = []
@@ -265,7 +295,7 @@ def dist_aggregate(
             part_v.append(skv[first_idx] & (jnp.arange(cap) < ngroups))
         for a in aggr_expr:
             cols = _eval_aggregate(
-                a, t, perm, gid, cap, alive_sorted, ngroups, emit_state=True
+                a, t, perm, gid, pcap, alive_sorted, ngroups, emit_state=True
             )
             for c in cols:
                 part_d.append(c.data)
@@ -302,7 +332,7 @@ def dist_aggregate(
                 jnp.concatenate([x, jnp.zeros(pad, bool)]) for x in gv
             ]
             new_n = jnp.full((1,), ndev, jnp.int64)
-            sh_ovf = jnp.int32(0)
+            sh_ovf = pre_ovf  # phase-0 value-placement overflow (DISTINCT)
             fcap = cap
 
         # ---- phase 3: local final aggregate over states ------------------------
@@ -386,7 +416,15 @@ def dist_aggregate(
             out_cap,
         ),
         op="dist_aggregate",
-        mode="partial+rekey+final" if nkeys else "all_gather_states",
+        mode=(
+            "partial+rekey+final"
+            if nkeys
+            else (
+                "value_place+all_gather_states"
+                if pre_expr is not None
+                else "all_gather_states"
+            )
+        ),
         bucket_cap=B,
         recv_cap=out_cap,
         exchange_bytes=_exchange_bytes(out[2 : 2 + k], ndev, B) if nkeys else 0,

@@ -378,6 +378,57 @@ def test_dist_distinct_aggregate_matches_local():
         ), q
 
 
+@needs_devices
+def test_dist_global_distinct_mesh_native():
+    """DISTINCT aggregates WITHOUT group keys run mesh-native: rows
+    all_to_all by the hash of the DISTINCT argument (each value's copies
+    land on ONE shard, so the local dedup is a global dedup), partial
+    states merge via the all_gather path.  Previously this always gathered
+    the full table to one device (the CoalescePartitions analogue)."""
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.parallel.executor import SpmdExecutor
+
+    ctx = ExecutionContext()
+    n = 2000
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                "x": [None if i % 17 == 0 else (i * 7) % 113 for i in range(n)],
+                "y": [float(i % 29) for i in range(n)],
+                "s": [f"s{(i * 3) % 41}" for i in range(n)],
+            }
+        ),
+    )
+    mesh = make_mesh(8)
+    for q, expect_mesh in [
+        ("SELECT count(DISTINCT x) AS cd FROM t", True),
+        ("SELECT sum(DISTINCT x) AS sd, count(DISTINCT x) AS cd, "
+         "avg(DISTINCT x) AS ad FROM t", True),
+        # non-distinct aggregates ride the same placement (each row lands
+        # exactly once, so their partials stay exact)
+        ("SELECT count(DISTINCT s) AS cs, sum(y) AS sy, count(*) AS c "
+         "FROM t", True),
+        ("SELECT min(DISTINCT x) AS mn, max(x) AS mx FROM t", True),
+        # mixed DISTINCT arguments: no single placement -> structural gather
+        ("SELECT count(DISTINCT x) AS cx, count(DISTINCT s) AS cs FROM t",
+         False),
+    ]:
+        phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
+        ex = SpmdExecutor(mesh, strict=expect_mesh)
+        got = ex.execute_plan(phys).to_pydict()
+        agg_modes = [
+            m for op, m in ex.node_modes if op == "HashAggregateExec"
+        ]
+        if expect_mesh:
+            assert agg_modes and all(m == "mesh" for m in agg_modes), (
+                q, ex.node_modes,
+            )
+        else:
+            assert "gather" in agg_modes, (q, ex.node_modes)
+        assert got == ctx.sql(q).collect().to_pydict(), q
+
+
 def test_dist_sort_sql_nulls_desc_strings():
     """Mesh ORDER BY through the fused exchange+sort path: multi-key with
     NULLS FIRST/LAST, DESC, and dictionary strings must match local."""
