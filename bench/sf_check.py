@@ -73,6 +73,19 @@ def main():
         os.path.dirname(os.path.abspath(__file__)),
         f"SFCHECK_SF{args.sf:g}.json",
     )
+    # resume: keep an existing same-backend record's queries (a run cut
+    # off by a timeout, or adding queries to a prior record)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if (
+                prev.get("backend") == out["backend"]
+                and prev.get("sf") == args.sf
+            ):
+                out["queries"].update(prev.get("queries", {}))
+        except Exception:
+            pass
     for q in queries:
         rec = {}
         t0 = time.perf_counter()

@@ -37,7 +37,9 @@ Strategy per node:
 - WindowAgg (PARTITION BY)   dist_window: all_to_all by partition-key hash
                              (whole partitions co-locate), local traced
                              window per shard; no-PARTITION BY windows
-                             gather (need a total order)
+                             range-partition by ORDER BY + O(ndev)
+                             collective corrections (dist_window_global);
+                             explicit frames / mixed ORDER BY gather
 - Union                      shard-wise concatenation
 - GlobalLimit / Skip         prefix-count truncation per shard (one
                              all_gather of counts; LIMIT moves no data)
@@ -291,11 +293,32 @@ class SpmdExecutor:
                 tuple(str(p) for p in w.partition_by)
                 for w in plan.window_exprs
             ]
+            if not any(pkeys):
+                # no PARTITION BY anywhere: the reference pins this to a
+                # single partition (windows/window_agg_exec.rs); we range-
+                # partition by the ORDER BY instead (ties co-locate) and
+                # apply O(ndev) collective corrections.  Structurally
+                # ineligible shapes (explicit frames, mixed ORDER BY,
+                # non-static lag offsets) gather like the reference.
+                from .ops import dist_window_global, global_window_eligible
+
+                if not global_window_eligible(plan.window_exprs):
+                    self._note(plan, "gather")
+                    return self._gather_run(plan, [st])
+                try:
+                    out, ovf = dist_window_global(st, plan.window_exprs)
+                    if ovf > 0:
+                        raise ExecutionError(
+                            "dist_window_global: range overflow persists"
+                        )
+                except ExecutionError as e:
+                    return self._failed(plan, e, [st])
+                out = out.shrink()
+                self._note(plan, "mesh", out)
+                return out
             if not all(pkeys) or len(set(pkeys)) != 1:
-                # no PARTITION BY (needs one total order — the reference's
-                # SinglePartition requirement, windows/window_agg_exec.rs)
-                # or mixed PARTITION BY keys in one node (hash placement
-                # can only co-locate one partitioning): gather
+                # mixed PARTITION BY keys in one node (hash placement can
+                # only co-locate one partitioning): gather
                 self._note(plan, "gather")
                 return self._gather_run(plan, [st])
             from .ops import dist_window

@@ -1155,6 +1155,410 @@ def dist_window(st: ShardedTable, window_exprs, bucket_cap: int | None = None):
     return st2, ovf
 
 
+_GLOBAL_WIN_AGGS = ("count", "sum", "avg", "mean", "min", "max")
+_GLOBAL_WIN_FUNS = (
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lag", "lead", "first_value", "last_value", "nth_value",
+) + _GLOBAL_WIN_AGGS
+
+
+def global_window_eligible(window_exprs) -> bool:
+    """True when a no-PARTITION-BY window node can run mesh-native via
+    dist_window_global.  Host-side STRUCTURAL check — the executor gathers
+    (the reference's SinglePartition plan) when this is False, and treats
+    an ExecutionError from dist_window_global itself as a real failure."""
+    from ..exprs.physical import PhysLit
+
+    if any(w.partition_by for w in window_exprs):
+        return False
+    # every expr's ORDER BY must be a prefix of the longest one (the local
+    # engine sorts once by the first expr's keys and evaluates each expr's
+    # peers over that order — same contract here, sorting by the longest)
+    sigs = [
+        tuple(
+            (str(s.expr), s.ascending, s.nulls_first) for s in w.order_by
+        )
+        for w in window_exprs
+    ]
+    longest = max(sigs, key=len)
+    if any(sig != longest[: len(sig)] for sig in sigs):
+        return False
+    for w, sig in zip(window_exprs, sigs):
+        if w.frame is not None:
+            return False  # explicit frames: no distributed carry yet
+        if w.fun not in _GLOBAL_WIN_FUNS:
+            return False
+        if not sig and w.fun not in _GLOBAL_WIN_AGGS:
+            return False  # ranking/value functions need a total order
+        if w.fun in ("lag", "lead"):
+            if len(w.args) > 1 and not isinstance(w.args[1], PhysLit):
+                return False  # offset must be static for the edge halo
+            if len(w.args) > 1 and not (
+                0 <= int(w.args[1].value.value or 0) <= 4096
+            ):
+                return False
+    return True
+
+
+def dist_window_global(st: ShardedTable, window_exprs):
+    """Windows WITHOUT PARTITION BY over the mesh — the case the reference
+    pins to a single partition (windows/window_agg_exec.rs requires
+    SinglePartition; our executor used to gather the whole table).
+
+    ORDER BY present: range-partition rows by the ORDER BY keys
+    (dist_sort — ties co-locate because routing uses the first key only),
+    evaluate every window locally per shard, then apply O(ndev)-sized
+    collective corrections: ranking functions add row/dense-rank prefix
+    offsets, running aggregates add preceding-shard totals, lag/lead
+    exchange a static-size edge halo, first/nth_value broadcast the global
+    head rows.  No ORDER BY (plain whole-table aggregates): per-shard
+    totals all-reduce, zero data movement.
+
+    Returns (ShardedTable, overflow) like dist_window."""
+    from ..ops.window import _running_max, _running_min_reverse
+    from ..exprs.physical import PhysLit
+
+    if not global_window_eligible(window_exprs):
+        raise ExecutionError("dist_window_global: structure not eligible")
+    # sort by the LONGEST order list; every expr's list is a prefix of it
+    order_by = max((list(w.order_by) for w in window_exprs), key=len)
+    ndev = st.ndev
+
+    if order_by:
+        sorted_st, s_ovf = dist_sort(st, order_by)
+        if s_ovf > 0:
+            return sorted_st, s_ovf
+    else:
+        sorted_st = st
+    fcap = sorted_st.shard_cap
+    ncols = len(sorted_st.datas)
+
+    def body(nrows, *arrays):
+        datas = list(arrays[:ncols])
+        valids = list(arrays[ncols:])
+        t = _local_view(sorted_st, datas, valids)
+        nloc = nrows[0]
+        ar = jnp.arange(fcap)
+        alive = ar < nloc
+        me = jax.lax.axis_index(AXIS)
+        cnts = jax.lax.all_gather(nloc, AXIS).reshape(-1)  # [ndev]
+        ends = jnp.cumsum(cnts)
+        offsets = ends - cnts  # exclusive prefix: my first global row
+        row_off = offsets[me]
+        N = ends[ndev - 1]
+        rn0 = row_off + ar  # global 0-based row number
+
+        peer_cache: dict = {}
+
+        def peers(oby):
+            """(boundary, peer_start, peer_end) for one expr's ORDER BY
+            list (a prefix of the global sort order) — ties never cross
+            shards because routing uses the first key only."""
+            sig = tuple(
+                (str(s.expr), s.ascending, s.nulls_first) for s in oby
+            )
+            hit = peer_cache.get(sig)
+            if hit is not None:
+                return hit
+            if not oby:
+                b = jnp.zeros(fcap, bool).at[0].set(True)
+                ps = jnp.zeros(fcap, ar.dtype)
+                pe = jnp.maximum(nloc - 1, 0) * jnp.ones(fcap, ar.dtype)
+                peer_cache[sig] = (b, ps, pe)
+                return peer_cache[sig]
+            boundary = jnp.zeros(fcap, bool).at[0].set(True)
+            for s in oby:
+                c = s.expr.evaluate(t)
+                k = K.orderable_key(c.data, c.dtype)
+                boundary = (
+                    boundary
+                    | (k != jnp.roll(k, 1))
+                    | (c.valid != jnp.roll(c.valid, 1))
+                )
+            # dead rows carry arbitrary keys: force a boundary at the
+            # first dead position so the last peer group ends at nloc-1
+            boundary = (boundary | (ar == nloc)).at[0].set(True)
+            ps = _running_max(jnp.where(boundary, ar, 0))
+            nxt_b = jnp.roll(boundary, -1).at[fcap - 1].set(True)
+            pe = _running_min_reverse(jnp.where(nxt_b, ar, fcap))
+            peer_cache[sig] = (boundary, ps, pe)
+            return peer_cache[sig]
+
+        def prefix_sum_across(shard_total):
+            """Exclusive prefix over shards of a per-shard scalar."""
+            g = jax.lax.all_gather(shard_total, AXIS).reshape(-1)
+            return jnp.sum(jnp.where(jnp.arange(ndev) < me, g, 0))
+
+        out_d: list[jnp.ndarray] = []
+        out_v: list[jnp.ndarray] = []
+        for w in window_exprs:
+            f = w.fun
+            if f == "row_number":
+                out_d.append((rn0 + 1).astype(jnp.uint64))
+                out_v.append(alive)
+                continue
+            if f == "rank":
+                _, ps, _ = peers(w.order_by)
+                out_d.append((row_off + ps + 1).astype(jnp.uint64))
+                out_v.append(alive)
+                continue
+            if f == "dense_rank":
+                b, _, _ = peers(w.order_by)
+                local_d = jnp.cumsum(b.astype(jnp.int64))
+                d_off = prefix_sum_across(jnp.sum(b & alive))
+                out_d.append((d_off + local_d).astype(jnp.uint64))
+                out_v.append(alive)
+                continue
+            if f == "percent_rank":
+                _, ps, _ = peers(w.order_by)
+                grank = (row_off + ps).astype(jnp.float64)  # rank - 1
+                denom = jnp.maximum(N - 1, 1).astype(jnp.float64)
+                out_d.append(grank / denom)
+                out_v.append(alive)
+                continue
+            if f == "cume_dist":
+                _, _, pe = peers(w.order_by)
+                le = (row_off + pe + 1).astype(jnp.float64)
+                out_d.append(le / jnp.maximum(N, 1).astype(jnp.float64))
+                out_v.append(alive)
+                continue
+            if f == "ntile":
+                nt = w.args[0].evaluate(t).data.astype(jnp.int64)
+                bucket = (rn0 * nt) // jnp.maximum(N, 1) + 1
+                out_d.append(bucket.astype(jnp.uint64))
+                out_v.append(alive)
+                continue
+            if f in ("lag", "lead"):
+                v = w.args[0].evaluate(t)
+                koff = 1
+                if len(w.args) > 1:
+                    koff = int(w.args[1].value.value or 0)
+                E = max(koff, 1)
+                je = jnp.arange(E)
+                if f == "lag":
+                    # halo: every shard's last-E rows, indexed by global pos
+                    e_idx = jnp.clip(nloc - E + je, 0, fcap - 1).astype(
+                        jnp.int32
+                    )
+                    e_ok = (nloc - E + je) >= 0
+                    g_d = jax.lax.all_gather(v.data[e_idx], AXIS)
+                    g_v = jax.lax.all_gather(v.valid[e_idx] & e_ok, AXIS)
+                    # prev_buf[j] = value at global position row_off - E + j
+                    p = row_off - E + je
+                    src_s = jnp.sum(
+                        ends[None, :] <= p[:, None], axis=1
+                    ).astype(jnp.int32)
+                    src_s = jnp.clip(src_s, 0, ndev - 1)
+                    j2 = p - offsets[src_s] - (cnts[src_s] - E)
+                    j2c = jnp.clip(j2, 0, E - 1).astype(jnp.int32)
+                    buf_d = g_d[src_s, j2c]
+                    buf_v = g_v[src_s, j2c] & (p >= 0) & (j2 >= 0) & (j2 < E)
+                    src = ar - koff
+                    remote = src < 0
+                    src_c = jnp.clip(src, 0, fcap - 1).astype(jnp.int32)
+                    rbuf = jnp.clip(src + E, 0, E - 1).astype(jnp.int32)
+                    data = jnp.where(remote, buf_d[rbuf], v.data[src_c])
+                    valid = jnp.where(
+                        remote,
+                        buf_v[rbuf] & (rn0 - koff >= 0),
+                        v.valid[src_c] & (src >= 0),
+                    )
+                else:  # lead
+                    e_idx = jnp.clip(je, 0, fcap - 1).astype(jnp.int32)
+                    e_ok = je < nloc
+                    g_d = jax.lax.all_gather(v.data[e_idx], AXIS)
+                    g_v = jax.lax.all_gather(v.valid[e_idx] & e_ok, AXIS)
+                    # next_buf[j] = value at global position row_off+nloc+j
+                    p = row_off + nloc + je
+                    src_s = jnp.sum(
+                        ends[None, :] <= p[:, None], axis=1
+                    ).astype(jnp.int32)
+                    src_s = jnp.clip(src_s, 0, ndev - 1)
+                    j2 = p - offsets[src_s]
+                    j2c = jnp.clip(j2, 0, E - 1).astype(jnp.int32)
+                    buf_d = g_d[src_s, j2c]
+                    buf_v = (
+                        g_v[src_s, j2c] & (p < N) & (j2 >= 0) & (j2 < E)
+                    )
+                    src = ar + koff
+                    remote = src >= nloc
+                    src_c = jnp.clip(src, 0, fcap - 1).astype(jnp.int32)
+                    rbuf = jnp.clip(src - nloc, 0, E - 1).astype(jnp.int32)
+                    data = jnp.where(remote, buf_d[rbuf], v.data[src_c])
+                    valid = jnp.where(
+                        remote,
+                        buf_v[rbuf] & (rn0 + koff < N),
+                        v.valid[src_c],
+                    )
+                out_d.append(data)
+                out_v.append(valid & alive)
+                continue
+            if f == "first_value":
+                v = w.args[0].evaluate(t)
+                g_d = jax.lax.all_gather(v.data[0], AXIS).reshape(-1)
+                g_v = jax.lax.all_gather(
+                    v.valid[0] & (nloc > 0), AXIS
+                ).reshape(-1)
+                has = cnts > 0
+                first_s = jnp.argmax(has)  # first shard with rows
+                val = g_d[first_s]
+                vv = g_v[first_s] & jnp.any(has)
+                out_d.append(jnp.full(fcap, val))
+                out_v.append(alive & vv)
+                continue
+            if f == "last_value":
+                # the single-device engine uses the PARTITION end for
+                # last_value (window.py _eval_window) — mirror it: the
+                # global last row, from the last shard with rows
+                v = w.args[0].evaluate(t)
+                last_i = jnp.clip(nloc - 1, 0, fcap - 1).astype(jnp.int32)
+                g_d = jax.lax.all_gather(v.data[last_i], AXIS).reshape(-1)
+                g_v = jax.lax.all_gather(
+                    v.valid[last_i] & (nloc > 0), AXIS
+                ).reshape(-1)
+                has = cnts > 0
+                rev = has[::-1]
+                last_s = ndev - 1 - jnp.argmax(rev)  # last shard with rows
+                out_d.append(jnp.full(fcap, g_d[last_s]))
+                out_v.append(alive & g_v[last_s] & jnp.any(has))
+                continue
+            if f == "nth_value":
+                # mirrors the local engine: the value at partition-relative
+                # position n-1 (= global row n-1), null when out of range
+                v = w.args[0].evaluate(t)
+                n = w.args[1].evaluate(t).data[0].astype(jnp.int64)
+                p = n - 1  # global 0-based source position
+                mine = (row_off <= p) & (p < row_off + nloc)
+                li = jnp.clip(p - row_off, 0, fcap - 1).astype(jnp.int32)
+                g_d = jax.lax.all_gather(
+                    jnp.where(mine, v.data[li], jnp.zeros((), v.data.dtype)),
+                    AXIS,
+                ).reshape(-1)
+                g_v = jax.lax.all_gather(mine & v.valid[li], AXIS).reshape(-1)
+                src_s = jnp.argmax(
+                    jax.lax.all_gather(mine, AXIS).reshape(-1)
+                )
+                val = g_d[src_s]
+                vv = jnp.any(g_v)
+                out_d.append(jnp.full(fcap, val))
+                out_v.append(alive & vv & (p >= 0) & (p < N))
+                continue
+            # running / whole-table aggregates over the default frame
+            # [global row 0, current peer end] (or the whole table without
+            # ORDER BY): local prefix at peer_end + preceding-shard totals
+            varg = w.args[0].evaluate(t) if w.args else None
+            mask = (
+                (varg.valid & alive) if varg is not None else alive
+            )
+            w_ordered = bool(w.order_by)
+            if w_ordered:
+                _, _, pe = peers(w.order_by)
+                pe32 = jnp.clip(pe, 0, fcap - 1).astype(jnp.int32)
+
+            def frame_sum(x):
+                """Per-row sum over the default frame: with ORDER BY the
+                frame is [global row 0, peer end] (preceding shards whole +
+                local prefix); without, the WHOLE table (all-shard total)."""
+                total = jnp.sum(x)
+                if w_ordered:
+                    return prefix_sum_across(total) + jnp.cumsum(x)[pe32]
+                g = jax.lax.all_gather(total, AXIS).reshape(-1)
+                return jnp.full(fcap, jnp.sum(g))
+
+            gcount = frame_sum(mask.astype(jnp.int64))
+            if f == "count":
+                out_d.append(gcount)
+                out_v.append(alive)
+                continue
+            has = gcount > 0
+            if f == "sum":
+                acc = varg.data.astype(w.dtype.storage_np_dtype())
+                x = jnp.where(mask, acc, jnp.zeros((), acc.dtype))
+                out_d.append(frame_sum(x))
+                out_v.append(alive & has)
+                continue
+            if f in ("avg", "mean"):
+                from ..ops.aggregate import _to_float
+
+                fx = _to_float(varg.data, varg.dtype)
+                x = jnp.where(mask, fx, 0.0)
+                out_d.append(frame_sum(x) / jnp.maximum(gcount, 1))
+                out_v.append(alive & has)
+                continue
+            if f in ("min", "max"):
+                opfn = jnp.minimum if f == "min" else jnp.maximum
+                redfn = jnp.min if f == "min" else jnp.max
+                if varg.dtype.is_float:
+                    neutral = jnp.inf if f == "min" else -jnp.inf
+                    x = jnp.where(mask, varg.data, neutral)
+                else:
+                    neutral = (
+                        jnp.iinfo(jnp.int64).max
+                        if f == "min"
+                        else jnp.iinfo(jnp.int64).min
+                    )
+                    x = jnp.where(
+                        mask, K.orderable_key(varg.data, varg.dtype), neutral
+                    )
+                g = jax.lax.all_gather(redfn(x), AXIS).reshape(-1)
+                if w_ordered:
+                    run = (
+                        jax.lax.cummin(x) if f == "min" else jax.lax.cummax(x)
+                    )
+                    prior = redfn(
+                        jnp.where(jnp.arange(ndev) < me, g, neutral)
+                    )
+                    out = opfn(prior, run[pe32])
+                else:
+                    out = jnp.full(fcap, redfn(g))
+                out_d.append(out.astype(varg.dtype.storage_np_dtype()))
+                out_v.append(alive & has)
+                continue
+            raise ExecutionError(f"dist_window_global: '{f}' unreachable")
+
+        return (
+            nrows,
+            *[d for d in datas],
+            *out_d,
+            *[v for v in valids],
+            *out_v,
+        )
+
+    kout = ncols + len(window_exprs)
+    fn = _shard_map(
+        sorted_st.mesh,
+        body,
+        in_specs=_specs(1 + 2 * ncols),
+        out_specs=_specs(1 + 2 * kout),
+    )
+    out = jax.jit(fn)(sorted_st.nrows, *sorted_st.datas, *sorted_st.valids)
+    nrows, rest = out[0], out[1:]
+    out_names = list(st.names) + [w.name for w in window_exprs]
+    out_dtypes = list(st.dtypes) + [w.dtype for w in window_exprs]
+    out_dicts = list(st.dicts) + [_win_dict(w, st) for w in window_exprs]
+    st2 = ShardedTable(
+        out_names,
+        out_dtypes,
+        out_dicts,
+        list(rest[:kout]),
+        list(rest[kout:]),
+        nrows,
+        sorted_st.mesh,
+        fcap,
+    )
+    _attach_info(
+        st2,
+        op="dist_window_global",
+        mode="range_order" if order_by else "all_reduce",
+        recv_cap=fcap,
+        retries=0,
+        exchange_bytes=(
+            _exchange_bytes(st.datas, ndev, fcap // ndev) if order_by else 0
+        ),
+    )
+    return st2, 0
+
+
 def _win_dict(w, st: ShardedTable):
     """Dictionary for a window output column: value-passing functions
     (first/last/nth_value, lag/lead, min/max) re-emit their argument's

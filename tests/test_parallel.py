@@ -429,6 +429,81 @@ def test_dist_global_distinct_mesh_native():
         assert got == ctx.sql(q).collect().to_pydict(), q
 
 
+@needs_devices
+def test_dist_window_global_order_mesh_native():
+    """Windows WITHOUT PARTITION BY run mesh-native: range partition by
+    the ORDER BY (ties co-locate) + local evaluation + O(ndev) collective
+    corrections (rank offsets, running-aggregate prefixes, lag/lead edge
+    halos, head broadcasts).  The reference pins these to a single
+    partition; we distribute them.  Golden vs the single-device engine."""
+    from datafusion_tpu import ExecutionContext
+    from datafusion_tpu.parallel.executor import SpmdExecutor
+
+    ctx = ExecutionContext()
+    n = 700
+    ctx.register_table(
+        "t",
+        Table.from_pydict(
+            {
+                # dense duplicate keys so peer groups are real and some
+                # straddle would-be shard boundaries without co-location
+                "k": [(i * 7) % 40 for i in range(n)],
+                "v": [None if i % 13 == 0 else float((i * 11) % 97)
+                      for i in range(n)],
+                "i": list(range(n)),
+            }
+        ),
+    )
+    mesh = make_mesh(8)
+    queries = [
+        # ranking family over duplicate keys
+        "SELECT i, row_number() OVER (ORDER BY k, i) AS rn, "
+        "rank() OVER (ORDER BY k) AS r, dense_rank() OVER (ORDER BY k) AS dr, "
+        "percent_rank() OVER (ORDER BY k) AS pr, "
+        "cume_dist() OVER (ORDER BY k) AS cd, "
+        "ntile(7) OVER (ORDER BY k, i) AS nt FROM t",
+        # running aggregates (default RANGE frame incl. peers) + nulls
+        "SELECT i, sum(v) OVER (ORDER BY k) AS sv, "
+        "count(v) OVER (ORDER BY k) AS cv, avg(v) OVER (ORDER BY k) AS av, "
+        "min(v) OVER (ORDER BY k) AS mv, max(v) OVER (ORDER BY k) AS xv "
+        "FROM t",
+        # value functions: cross-shard lag/lead halos, global head/nth
+        "SELECT i, lag(v) OVER (ORDER BY k, i) AS l1, "
+        "lead(v, 3) OVER (ORDER BY k, i) AS l3, "
+        "lag(v, 17) OVER (ORDER BY k, i) AS l17, "
+        "first_value(v) OVER (ORDER BY k, i) AS fv, "
+        "last_value(v) OVER (ORDER BY k, i) AS lv, "
+        "nth_value(v, 5) OVER (ORDER BY k, i) AS nv FROM t",
+        # no ORDER BY at all: whole-table aggregates, zero movement
+        "SELECT i, sum(v) OVER () AS sv, count(v) OVER () AS cv, "
+        "max(v) OVER () AS xv FROM t",
+        # descending + nulls-affecting order
+        "SELECT i, row_number() OVER (ORDER BY v DESC, i) AS rn, "
+        "rank() OVER (ORDER BY v DESC) AS r FROM t",
+    ]
+    for q in queries:
+        phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
+        ex = SpmdExecutor(mesh, strict=True)
+        got = ex.execute_plan(phys).to_pydict()
+        assert any(
+            op == "WindowAggExec" and m == "mesh" for op, m in ex.node_modes
+        ), (q, ex.node_modes)
+        want = ctx.sql(q).collect().to_pydict()
+        key = lambda d: sorted(zip(*d.values()), key=repr)
+        assert key(got) == key(want), q
+
+    # explicit frames stay a structural gather (matches the reference's
+    # SinglePartition requirement) — and must still be correct
+    q = ("SELECT i, sum(v) OVER (ORDER BY k, i ROWS BETWEEN 2 PRECEDING "
+         "AND CURRENT ROW) AS sv FROM t")
+    phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
+    ex = SpmdExecutor(mesh, strict=True)
+    got = ex.execute_plan(phys).to_pydict()
+    assert ("WindowAggExec", "gather") in ex.node_modes
+    key = lambda d: sorted(zip(*d.values()), key=repr)
+    assert key(got) == key(ctx.sql(q).collect().to_pydict())
+
+
 def test_dist_sort_sql_nulls_desc_strings():
     """Mesh ORDER BY through the fused exchange+sort path: multi-key with
     NULLS FIRST/LAST, DESC, and dictionary strings must match local."""
