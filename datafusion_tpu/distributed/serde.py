@@ -734,6 +734,13 @@ def _window_expr_from_dict(d: dict) -> PhysWindowExpr:
 
 
 def pplan_to_dict(p: ExecutionPlan) -> dict:
+    # fused-stage wrappers (physical/fuse.py) are pure local-execution
+    # artifacts: ship the logical operator chain they wrap — the receiving
+    # executor re-runs fusion on its own physical plan anyway
+    from ..physical.fuse import StageExec, TailStageExec
+
+    if isinstance(p, (StageExec, TailStageExec)):
+        return pplan_to_dict(p.inner)
     if isinstance(p, DistScanExec):
         return {
             "p": "dist_scan",

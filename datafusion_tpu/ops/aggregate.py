@@ -296,31 +296,40 @@ class HashAggregateExec(ExecutionPlan):
         if key_cols:
             fi = _segment_first_index(gid, cap, alive_sorted).astype(jnp.int32)
             gv = jnp.arange(cap) < ngroups
-            for kc, sc in zip(key_cols, sorted_cols[:nkeys]):
-                out_cols.append(
-                    Column(kc.dtype, K.gather64(sc.data, fi), sc.valid[fi] & gv, kc.dictionary)
-                )
+            kd, kv, _ = K.take_rows(
+                tuple(sc.data for sc in sorted_cols[:nkeys]),
+                tuple(sc.valid for sc in sorted_cols[:nkeys]),
+                fi,
+            )
+            for kc, d, v in zip(key_cols, kd, kv):
+                out_cols.append(Column(kc.dtype, d, v & gv, kc.dictionary))
 
         # input layout: [keys..., distinct value cols..., state cols...];
         # distinct aggs re-aggregate their (cross-partition re-deduplicated)
         # raw values, non-distinct aggs merge partial states
         ndv = self.distinct_values
-        idx = nkeys + ndv
-        dvi = 0
-        for a in self.aggr_expr:
-            if ndv and a.distinct:
-                dv_col = sorted_cols[nkeys + dvi]
-                dvi += 1
-                merged = _final_distinct_over_values(
-                    a, dv_col, gid, cap, alive_sorted, ngroups
-                )
-            else:
-                nstate = len(a.state_fields())
-                state_cols = sorted_cols[idx : idx + nstate]
-                idx += nstate
-                merged = _merge_aggregate(
-                    a, state_cols, None, gid, cap, alive_sorted, ngroups
-                )
+
+        def _merge_loop():
+            idx = nkeys + ndv
+            dvi = 0
+            acc = []
+            for a in self.aggr_expr:
+                if ndv and a.distinct:
+                    dv_col = sorted_cols[nkeys + dvi]
+                    dvi += 1
+                    acc.append(_final_distinct_over_values(
+                        a, dv_col, gid, cap, alive_sorted, ngroups
+                    ))
+                else:
+                    nstate = len(a.state_fields())
+                    state_cols = sorted_cols[idx : idx + nstate]
+                    idx += nstate
+                    acc.append(_merge_aggregate(
+                        a, state_cols, None, gid, cap, alive_sorted, ngroups
+                    ))
+            return acc
+
+        for a, merged in zip(self.aggr_expr, K.seg_batch(_merge_loop)):
             names.append(a.name)
             out_cols.append(merged)
 
@@ -411,9 +420,9 @@ def _eval_aggregate(a: PhysAggExpr, t: Table, perm, gid, cap, alive, ngroups, em
         rt = a.return_type()
         sdt = rt.storage_np_dtype()
         x = jnp.where(valid, data.astype(sdt), sdt.type(a.udf.zero))
-        run = K._segment_scan(x, gid, a.udf.step)
-        _, last_pos = K._segment_positions(gid)
-        acc = run[last_pos]
+        acc = K._boundary_read(
+            gid, lambda: K._segment_scan(x, gid, a.udf.step), "last"
+        )
         cnt = K.segment_sum(valid.astype(jnp.int64), gid, cap)
         if emit_state:
             return [Column(rt, acc, gvalid), Column(INT64, cnt, gvalid)]
@@ -536,9 +545,9 @@ def _merge_aggregate(a: PhysAggExpr, state_cols, perm, gid, cap, alive, ngroups)
         d, _ = sort_col(state_cols[0])
         c, cv = sort_col(state_cols[1])
         x = jnp.where(cv & (c > 0), d.astype(sdt), sdt.type(a.udf.zero))
-        run = K._segment_scan(x, gid, a.udf.step)
-        _, last_pos = K._segment_positions(gid)
-        acc = run[last_pos]
+        acc = K._boundary_read(
+            gid, lambda: K._segment_scan(x, gid, a.udf.step), "last"
+        )
         cnt = K.segment_sum(jnp.where(cv, c, 0), gid, cap)
         out = acc if a.udf.finalize is None else a.udf.finalize(acc, cnt)
         return Column(rt, out.astype(sdt), gvalid & (cnt > 0))

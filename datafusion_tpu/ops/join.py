@@ -318,19 +318,17 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
 
             if join_type == "inner":
                 # co-sort the (probe, build) index pairs by ~ok (cheap int
-                # payloads through the sorting network), then gather data
-                # via the 64-bit pair fast path (kernels.py co-sorting note)
+                # payloads through the sorting network), then materialize
+                # each side with ONE packed row gather (kernels.take_rows:
+                # per-column gathers cost ~4x more; this was the dominant
+                # term of the q18 6M-row join, bench/PROFILE_SF1.md)
                 cnt = jnp.sum(ok)
                 _, (pc, bc) = K.cosort((~ok,), (probe_idx, build_idx))
                 live = jnp.arange(out_cap) < cnt
-                pc32 = pc.astype(jnp.int32)
-                bc32 = bc.astype(jnp.int32)
-                out_d = [K.gather64(d, pc32) for d in ld] + [
-                    K.gather64(d, bc32) for d in rd
-                ]
-                out_v = [v[pc32] & live for v in lv] + [
-                    v[bc32] & live for v in rv
-                ]
+                pl_d, pl_v, _ = K.take_rows(ld, lv, pc)
+                pr_d, pr_v, _ = K.take_rows(rd, rv, bc)
+                out_d = list(pl_d) + list(pr_d)
+                out_v = [v & live for v in pl_v] + [v & live for v in pr_v]
                 return tuple(out_d), tuple(out_v), cnt
 
             if join_type in ("semi", "anti"):
@@ -346,13 +344,11 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
             cnt = jnp.sum(ok)
             _, (pc, bc) = K.cosort((~ok,), (probe_idx, build_idx))
             pair_live = jnp.arange(out_cap) < cnt
-            pc32 = pc.astype(jnp.int32)
-            bc32 = bc.astype(jnp.int32)
-            col_d = [[K.gather64(d, pc32)] for d in ld] + [
-                [K.gather64(d, bc32)] for d in rd
-            ]
-            col_v = [[v[pc32] & pair_live] for v in lv] + [
-                [v[bc32] & pair_live] for v in rv
+            pl_d, pl_v, _ = K.take_rows(ld, lv, pc)
+            pr_d, pr_v, _ = K.take_rows(rd, rv, bc)
+            col_d = [[d] for d in pl_d] + [[d] for d in pr_d]
+            col_v = [[v & pair_live] for v in pl_v] + [
+                [v & pair_live] for v in pr_v
             ]
             nld = len(ld)
             alive_segs = [pair_live]
@@ -431,17 +427,20 @@ def _any_match_per_probe(counts, ok, out_cap):
 
 
 def _gather_pair_table(lt: Table, rt: Table, probe_idx, build_idx, out_cap) -> Table:
-    pi = probe_idx.astype(jnp.int32)
-    bi = build_idx.astype(jnp.int32)
-    cols = []
-    names = []
-    for n, c in zip(lt.names, lt.columns):
-        cols.append(Column(c.dtype, K.gather64(c.data, pi), c.valid[pi], c.dictionary))
-        names.append(n)
-    for n, c in zip(rt.names, rt.columns):
-        cols.append(Column(c.dtype, K.gather64(c.data, bi), c.valid[bi], c.dictionary))
-        names.append(n)
-    return Table(names, cols, out_cap)
+    ld, lv, _ = K.take_rows(
+        tuple(c.data for c in lt.columns), tuple(c.valid for c in lt.columns), probe_idx
+    )
+    rd, rv, _ = K.take_rows(
+        tuple(c.data for c in rt.columns), tuple(c.valid for c in rt.columns), build_idx
+    )
+    cols = [
+        Column(c.dtype, d, v, c.dictionary)
+        for c, d, v in zip(lt.columns, ld, lv)
+    ] + [
+        Column(c.dtype, d, v, c.dictionary)
+        for c, d, v in zip(rt.columns, rd, rv)
+    ]
+    return Table(list(lt.names) + list(rt.names), cols, out_cap)
 
 
 class CrossJoinExec(ExecutionPlan):

@@ -159,13 +159,129 @@ def cosort(keys: tuple, payloads: tuple, num_keys: int | None = None):
 def gather64(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather that routes 64-bit element types through an int32-pair row
     gather (4x faster than a native 64-bit gather on TPU under x64
-    emulation); 32-bit and bool types gather directly."""
+    emulation); 32-bit and bool types gather directly.  Unsigned 64-bit
+    reinterprets as signed first (TPU's X64 rewriter lacks u64 bitcasts;
+    astype wraps mod 2^64 — a bijection)."""
     if data.dtype.itemsize == 8:
+        dt = data.dtype
+        if jnp.issubdtype(dt, jnp.unsignedinteger):
+            return gather64(data.astype(jnp.int64), idx).astype(dt)
         pairs = jax.lax.bitcast_convert_type(data, jnp.int32)
         if pairs.ndim == 2:  # [N, 2] words
-            return jax.lax.bitcast_convert_type(pairs[idx.astype(jnp.int32)], data.dtype)
+            return jax.lax.bitcast_convert_type(pairs[idx.astype(jnp.int32)], dt)
         # some backends keep 64-bit types native; fall through
     return data[idx.astype(jnp.int32)]
+
+
+# ---------------------------------------------------------------------------
+# packed row gather
+#
+# TPU gathers pay a fixed per-row/per-call cost, not a bytes cost: measured
+# at 8.4M rows (v5e, 2026-08-20), 5 i64-pair gathers + 5 bool gathers =
+# 785 ms while ONE [N, 11]-word row gather of the same data = 215 ms
+# (3.6x) — and "near-sequential" index order does NOT help (seq 1095 ms vs
+# random 785 ms for the separate gathers).  So: when several columns move
+# by the same index vector, bitcast them all into ONE [N, W] int32 matrix
+# (64-bit types = 2 words, 32-bit = 1, validity masks bit-packed 32/word),
+# row-gather once, and unpack.  Join output materialization and aggregate
+# boundary gathers are the hot users.
+# ---------------------------------------------------------------------------
+
+
+def _data_to_words(d: jnp.ndarray) -> jnp.ndarray:
+    """[N] (or [N, k] list) buffer -> [N, w] int32 word planes (bitcast;
+    sub-32-bit types widen via astype).
+
+    TPU's X64 rewriter implements bitcasts only for SIGNED 64-bit and
+    float element types (u64 bitcasts fail to compile); unsigned ints
+    first reinterpret as signed via astype, which wraps mod 2^width — a
+    bijection, inverted the same way in _words_to_data."""
+    if jnp.issubdtype(d.dtype, jnp.unsignedinteger):
+        d = d.astype(jnp.int64 if d.dtype.itemsize == 8 else jnp.int32)
+    if d.ndim == 2:
+        if d.dtype.itemsize == 8:
+            w = jax.lax.bitcast_convert_type(d, jnp.int32)  # [N, k, 2]
+            return w.reshape(d.shape[0], d.shape[1] * 2)
+        if d.dtype == jnp.bool_ or d.dtype.itemsize < 4:
+            return d.astype(jnp.int32)
+        return jax.lax.bitcast_convert_type(d, jnp.int32)
+    if d.dtype == jnp.bool_ or d.dtype.itemsize < 4:
+        return d.astype(jnp.int32)[:, None]
+    if d.dtype.itemsize == 8:
+        return jax.lax.bitcast_convert_type(d, jnp.int32)  # [N, 2]
+    return jax.lax.bitcast_convert_type(d, jnp.int32)[:, None]
+
+
+def _words_per(d: jnp.ndarray) -> int:
+    k = d.shape[1] if d.ndim == 2 else 1
+    return k * (2 if d.dtype.itemsize == 8 else 1)
+
+
+def _words_to_data(w: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _data_to_words: w is [N, words_per(like)]."""
+    dt = like.dtype
+    unsigned = jnp.issubdtype(dt, jnp.unsignedinteger)
+    via = (
+        (jnp.int64 if dt.itemsize == 8 else jnp.int32)
+        if unsigned
+        else dt
+    )
+    if like.ndim == 2:
+        k = like.shape[1]
+        if dt.itemsize == 8:
+            out = jax.lax.bitcast_convert_type(w.reshape(w.shape[0], k, 2), via)
+        elif dt == jnp.bool_ or dt.itemsize < 4:
+            out = w.astype(dt)
+        else:
+            out = jax.lax.bitcast_convert_type(w, via)
+        return out.astype(dt) if unsigned else out
+    if dt == jnp.bool_:
+        return w[:, 0] != 0
+    if dt.itemsize < 4:
+        return w[:, 0].astype(dt)
+    if dt.itemsize == 8:
+        out = jax.lax.bitcast_convert_type(w, via)
+    else:
+        out = jax.lax.bitcast_convert_type(w[:, 0], via)
+    return out.astype(dt) if unsigned else out
+
+
+def take_rows(datas: tuple, valids: tuple, idx: jnp.ndarray, extra_masks: tuple = ()):
+    """Gather rows of many columns by ONE index vector via a single packed
+    [N, W] row gather (see header note: ~4x over per-column gathers).
+
+    Returns (datas_out, valids_out, extra_masks_out)."""
+    datas = tuple(datas)
+    valids = tuple(valids)
+    masks = tuple(valids) + tuple(extra_masks)
+    total_words = sum(_words_per(d) for d in datas) + (len(masks) + 31) // 32
+    if total_words <= 2:
+        # packing overhead isn't paid back below ~3 planes
+        i32 = idx.astype(jnp.int32)
+        return (
+            tuple(gather64(d, i32) for d in datas),
+            tuple(v[i32] for v in valids),
+            tuple(m[i32] for m in extra_masks),
+        )
+    planes = [_data_to_words(d) for d in datas]
+    for base in range(0, len(masks), 32):
+        word = jnp.zeros(masks[0].shape[0], jnp.int32)
+        for i, m in enumerate(masks[base : base + 32]):
+            word = word | (m.astype(jnp.int32) << i)
+        planes.append(word[:, None])
+    packed = jnp.concatenate(planes, axis=1)
+    g = packed[idx.astype(jnp.int32)]
+    out_d = []
+    off = 0
+    for d in datas:
+        w = _words_per(d)
+        out_d.append(_words_to_data(g[:, off : off + w], d))
+        off += w
+    out_m = []
+    for i in range(len(masks)):
+        word = g[:, off + i // 32]
+        out_m.append(((word >> (i % 32)) & 1) != 0)
+    return tuple(out_d), tuple(out_m[: len(valids)]), tuple(out_m[len(valids):])
 
 
 def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.ndarray):
@@ -251,11 +367,10 @@ def lexsort_perm(
 
 
 def take(datas: tuple, valids: tuple, idx: jnp.ndarray):
-    """Gather rows by index (the reference's arrow `take` kernel); 64-bit
-    columns go through the int32-pair fast path (`gather64`)."""
-    return tuple(gather64(d, idx) for d in datas), tuple(
-        v[idx.astype(jnp.int32)] for v in valids
-    )
+    """Gather rows by index (the reference's arrow `take` kernel): ONE
+    packed row gather for all columns + masks (see take_rows note)."""
+    out_d, out_v, _ = take_rows(datas, valids, idx)
+    return out_d, out_v
 
 
 # ---------------------------------------------------------------------------
@@ -302,10 +417,39 @@ def group_ids_sorted(
 # segment accumulates only its own values.
 
 
+# (id(gid) -> (gid, result)) memo: one aggregate stage calls segment_sum/
+# min/max once per agg state, and each used to recompute the SAME
+# boundary-position co-sort over the same gid (a full cap-sized sort pass
+# each — the dominant cost of the 6M->1.5M-group stage in
+# bench/PROFILE_SF1.md).  Keyed by object identity (works for concrete
+# arrays and for tracers within one jit trace); the strong reference to
+# gid in the value prevents id() reuse.
+_SEG_POS_MEMO: "OrderedDict" = None  # initialized below
+
+
 def _segment_positions(gid):
     """(first_pos, last_pos) per dense segment id, segment-ordered.
 
-    Only entries [0, #segments) are meaningful; callers mask by ngroups."""
+    Only entries [0, #segments) are meaningful; callers mask by ngroups.
+    Memoized per gid object: all reductions of one grouping share ONE
+    boundary-position sort."""
+    global _SEG_POS_MEMO
+    if _SEG_POS_MEMO is None:
+        from collections import OrderedDict as _OD
+
+        _SEG_POS_MEMO = _OD()
+    hit = _SEG_POS_MEMO.get(id(gid))
+    if hit is not None and hit[0] is gid:
+        _SEG_POS_MEMO.move_to_end(id(gid))
+        return hit[1]
+    res = _segment_positions_impl(gid)
+    _SEG_POS_MEMO[id(gid)] = (gid, res)
+    while len(_SEG_POS_MEMO) > 16:
+        _SEG_POS_MEMO.popitem(last=False)
+    return res
+
+
+def _segment_positions_impl(gid):
     cap = gid.shape[0]
     boundary = (gid != jnp.roll(gid, 1)).at[0].set(True)
     # carry a `cap` sentinel for non-boundary rows so entries past the last
@@ -336,44 +480,126 @@ def _segment_scan(values, gid, combine):
     return run
 
 
+# ---------------------------------------------------------------------------
+# batched boundary reads
+#
+# Every segment reduction ends with a gather of its running values at the
+# segment-end positions.  One grouped aggregate evaluates MANY reductions
+# over the same gid (one or two per aggregate state), and per-column
+# gathers pay a fixed per-row cost each (see take_rows note: ~4x), so a
+# seg_batch() window records every reduction's run array, resolves them
+# all with ONE packed row gather at last_pos, then replays the caller's
+# loop serving the resolved values.  The loop must be trace-pure (all
+# these callers are: they run under jit).
+# ---------------------------------------------------------------------------
+
+
+class _SegBatchState(threading.local):
+    def __init__(self):
+        self.mode = None  # None | 'record' | 'replay'
+        self.queue = []  # record: (gid, run, kind)
+        self.resolved = []  # replay: outputs in call order
+        self.cursor = 0
+
+
+_SEG_BATCH = _SegBatchState()
+
+
+def _resolve_boundary(items):
+    """items: [(gid, run, kind)] -> per-segment values, in order.
+
+    kind 'sum_run': run is a GLOBAL cumsum; the segment value is
+    hi - previous-segment hi (segment positions are contiguous, so the
+    start-1 read IS the previous end — no second gather).
+    kind 'last': the within-segment running value at the segment end."""
+    by: dict = {}
+    metas = []
+    for i, (gid, run, kind) in enumerate(items):
+        ent = by.get(id(gid))
+        if ent is None or ent[0] is not gid:
+            ent = (gid, [])
+            by[id(gid)] = ent
+        ent[1].append((i, run, kind))
+        metas.append(None)
+    for gid, its in by.values():
+        _, last_pos = _segment_positions(gid)
+        his, _, _ = take_rows(tuple(r for _, r, _ in its), (), last_pos)
+        for (i, run, kind), hi in zip(its, his):
+            if kind == "sum_run":
+                prev = jnp.concatenate([jnp.zeros(1, hi.dtype), hi[:-1]])
+                metas[i] = hi - prev
+            else:
+                metas[i] = hi
+    return metas
+
+
+def _boundary_read(gid, run_thunk, kind):
+    sb = _SEG_BATCH
+    if sb.mode == "replay":
+        out = sb.resolved[sb.cursor]
+        sb.cursor += 1
+        return out
+    run = run_thunk()
+    if sb.mode == "record":
+        sb.queue.append((gid, run, kind))
+        return run  # placeholder (right dtype/shape); pass-1 output discarded
+    return _resolve_boundary([(gid, run, kind)])[0]
+
+
+def seg_batch(loop):
+    """Run ``loop`` (a zero-arg callable performing segment reductions)
+    with all boundary gathers batched: record pass -> one packed gather per
+    gid -> replay pass returning the real result.  Nested calls run the
+    loop plainly (the outer window owns the batch)."""
+    sb = _SEG_BATCH
+    if sb.mode is not None:
+        return loop()
+    sb.mode = "record"
+    sb.queue = []
+    try:
+        loop()
+        sb.resolved = _resolve_boundary(sb.queue)
+        sb.mode = "replay"
+        sb.cursor = 0
+        out = loop()
+        if sb.cursor != len(sb.resolved):  # pragma: no cover - misuse guard
+            raise RuntimeError("seg_batch loop was not replay-pure")
+        return out
+    finally:
+        sb.mode = None
+        sb.queue = []
+        sb.resolved = []
+        sb.cursor = 0
+
+
 def segment_sum(values, gid, num_segments):
     if jnp.issubdtype(values.dtype, jnp.integer):
-        # exact for ints: one global cumsum + two gathers beats the
+        # exact for ints: one global cumsum + one boundary read beats the
         # tuple-carrying associative scan ~2x (floats keep the
         # scan-with-reset to avoid catastrophic cancellation)
-        first_pos, last_pos = _segment_positions(gid)
-        run = jnp.cumsum(values)
-        hi = gather64(run, last_pos)
-        lo = jnp.where(
-            first_pos > 0,
-            gather64(run, jnp.maximum(first_pos - 1, 0)),
-            jnp.zeros((), values.dtype),
+        out = _boundary_read(gid, lambda: jnp.cumsum(values), "sum_run")
+    else:
+        out = _boundary_read(
+            gid, lambda: _segment_scan(values, gid, lambda a, b: a + b), "last"
         )
-        out = hi - lo
-        if num_segments != values.shape[0]:  # pragma: no cover - pad/trim
-            out = out[:num_segments]
-        return out
-    run = _segment_scan(values, gid, lambda a, b: a + b)
-    _, last_pos = _segment_positions(gid)
-    out = gather64(run, last_pos)
     if num_segments != values.shape[0]:  # pragma: no cover - pad/trim
         out = out[:num_segments]
     return out
 
 
 def segment_min(values, gid, num_segments):
-    run = _segment_scan(values, gid, jnp.minimum)
-    _, last_pos = _segment_positions(gid)
-    out = gather64(run, last_pos)
+    out = _boundary_read(
+        gid, lambda: _segment_scan(values, gid, jnp.minimum), "last"
+    )
     if num_segments != values.shape[0]:  # pragma: no cover
         out = out[:num_segments]
     return out
 
 
 def segment_max(values, gid, num_segments):
-    run = _segment_scan(values, gid, jnp.maximum)
-    _, last_pos = _segment_positions(gid)
-    out = gather64(run, last_pos)
+    out = _boundary_read(
+        gid, lambda: _segment_scan(values, gid, jnp.maximum), "last"
+    )
     if num_segments != values.shape[0]:  # pragma: no cover
         out = out[:num_segments]
     return out

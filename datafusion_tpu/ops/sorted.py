@@ -202,11 +202,18 @@ class SortedAggregateExec(ExecutionPlan):
             out_cols.append(
                 Column(kc.dtype, kc.data[first_idx], kc.valid[first_idx] & gv, kc.dictionary)
             )
-        for a in self.aggr_expr:
-            cols = _eval_aggregate(
-                a, t, perm, gid, cap, alive, int(ngroups),
-                emit_state=(self.mode == "partial"),
-            )
+        from . import kernels as K
+
+        def _agg_loop():
+            return [
+                _eval_aggregate(
+                    a, t, perm, gid, cap, alive, int(ngroups),
+                    emit_state=(self.mode == "partial"),
+                )
+                for a in self.aggr_expr
+            ]
+
+        for a, cols in zip(self.aggr_expr, K.seg_batch(_agg_loop)):
             if self.mode == "partial":
                 for (sname, _), c in zip(a.state_fields(), cols):
                     names.append(sname)

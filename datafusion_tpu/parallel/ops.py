@@ -293,10 +293,16 @@ def dist_aggregate(
             first_idx = _segment_first_index(gid, cap, alive_sorted)
             part_d.append(skd[first_idx])
             part_v.append(skv[first_idx] & (jnp.arange(cap) < ngroups))
-        for a in aggr_expr:
-            cols = _eval_aggregate(
-                a, t, perm, gid, pcap, alive_sorted, ngroups, emit_state=True
-            )
+
+        def _part_loop():
+            return [
+                _eval_aggregate(
+                    a, t, perm, gid, pcap, alive_sorted, ngroups, emit_state=True
+                )
+                for a in aggr_expr
+            ]
+
+        for cols in K.seg_batch(_part_loop):
             for c in cols:
                 part_d.append(c.data)
                 part_v.append(c.valid)
@@ -355,15 +361,22 @@ def dist_aggregate(
             fi = _segment_first_index(gid2, fcap, alive2)
             fin_d.append(skd[fi])
             fin_v.append(skv[fi] & (jnp.arange(fcap) < ngroups2))
-        idx = nkeys
-        for a in aggr_expr:
-            nstate = len(a.state_fields())
-            scols = [
-                Column(state_dtypes[idx + j], sh_d[idx + j], sh_v[idx + j])
-                for j in range(nstate)
-            ]
-            idx += nstate
-            merged = _merge_aggregate(a, scols, perm2, gid2, fcap, alive2, ngroups2)
+        def _fin_loop():
+            idx = nkeys
+            acc = []
+            for a in aggr_expr:
+                nstate = len(a.state_fields())
+                scols = [
+                    Column(state_dtypes[idx + j], sh_d[idx + j], sh_v[idx + j])
+                    for j in range(nstate)
+                ]
+                idx += nstate
+                acc.append(
+                    _merge_aggregate(a, scols, perm2, gid2, fcap, alive2, ngroups2)
+                )
+            return acc
+
+        for merged in K.seg_batch(_fin_loop):
             fin_d.append(merged.data)
             fin_v.append(merged.valid)
 

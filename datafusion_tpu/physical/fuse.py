@@ -216,12 +216,13 @@ class FuseStages:
         if compilable(plan) and _worth_fusing(plan):
             return StageExec(plan, root=is_root)
         # tail fusion: a fusable prefix above a non-fusable input (join,
-        # union, ...) still becomes one program — worth it when the tail
-        # contains an aggregate or sort (they dominate the dispatch cost)
+        # union, ...) still becomes one program — including bare
+        # projection/filter chains: eager expression evaluation dispatches
+        # one device program per jnp op, and dispatch latency (~28 ms
+        # through the TPU tunnel) dominates mid-plan glue (the q18 profile
+        # showed 173 ms for a 4-column projection, bench/PROFILE_SF1.md)
         chain, below = _fusable_chain(plan)
-        if chain is not None and any(
-            isinstance(op, (HashAggregateExec, SortExec, WindowAggExec)) for op in chain
-        ):
+        if chain is not None:
             inner = self._opt(below, False)
             rebuilt = inner
             for op in reversed(chain):

@@ -541,15 +541,24 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap, int_ranges=No
     out_d, out_v = [], []
     fi = _segment_first_index(gid, cap, alive_sorted).astype(jnp.int32)
     gvalid_rows = jnp.arange(cap) < ngroups
-    for kc, skd, skv in zip(key_cols_raw, sk_data, sk_valid):
-        out_d.append(K.gather64(skd, fi))
-        out_v.append(skv[fi] & gvalid_rows)
+    # ONE packed gather for all key columns + validity masks
+    kd, kv, _ = K.take_rows(tuple(sk_data), tuple(sk_valid), fi)
+    for skd, skv in zip(kd, kv):
+        out_d.append(skd)
+        out_v.append(skv & gvalid_rows)
     key_cols = key_cols_raw  # for _agg_out_meta (dtypes/dictionaries)
     agg_dicts = {}
-    for a in op.aggr_expr:
-        cols = _eval_aggregate(
-            a, tc, None, gid, cap, alive_sorted, ngroups, emit_state=emit_state
-        )
+
+    def _agg_loop():
+        return [
+            _eval_aggregate(
+                a, tc, None, gid, cap, alive_sorted, ngroups, emit_state=emit_state
+            )
+            for a in op.aggr_expr
+        ]
+
+    # batch every reduction's boundary gather into one packed row gather
+    for a, cols in zip(op.aggr_expr, K.seg_batch(_agg_loop)):
         if a.fun in ("min", "max") and a.expr is not None and not emit_state:
             agg_dicts[a.name] = cols[0].dictionary
         for c in cols:
