@@ -56,6 +56,14 @@ class Column:
     # value without touching device data (which may be a tracer under
     # whole-stage jit compilation)
     literal: object = None
+    # host-known (min, max) of the live values for integer-backed columns,
+    # recorded at ingest and propagated through row-subset operators
+    # (filter/sort/join/shuffle).  Purely an optimization hint: when the
+    # range fits int32, sort keys and gather rides run at native 32-bit
+    # width instead of x64-emulated int64 (~2x on the hot sort/gather
+    # passes, bench/MICRO.md).  The fork's 32-bit comparators
+    # (total_cmp_32, SURVEY.md §1 L0) exist for the same reason.
+    vrange: tuple | None = None
 
     @property
     def capacity(self) -> int:
@@ -79,7 +87,17 @@ class Column:
             v[:n] = True
         else:
             v[:n] = valid
-        return Column(dtype, jnp.asarray(buf), jnp.asarray(v), dictionary)
+        vrange = None
+        if (
+            buf.ndim == 1
+            and storage.kind in "iu"
+            and storage.itemsize == 8
+            and n > 0
+        ):
+            live = buf[:n][v[:n]]
+            if live.size:
+                vrange = (int(live.min()), int(live.max()))
+        return Column(dtype, jnp.asarray(buf), jnp.asarray(v), dictionary, vrange=vrange)
 
     def to_numpy(self, nrows: int) -> tuple[np.ndarray, np.ndarray]:
         """(data, valid) for the first ``nrows`` live rows, as numpy."""
@@ -152,4 +170,4 @@ class Column:
         else:
             data = self.data[:capacity]
             valid = self.valid[:capacity]
-        return Column(self.dtype, data, valid, self.dictionary)
+        return Column(self.dtype, data, valid, self.dictionary, vrange=self.vrange)

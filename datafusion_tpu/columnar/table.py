@@ -164,8 +164,15 @@ class Table:
         costs one tiny D2H sync when it is still lazy (~28 ms through a
         remote-TPU tunnel), so callers gate with ``only_if_above``: below
         that capacity the padding is cheaper than the sync.  No-op unless
-        the capacity at least halves."""
+        the capacity at least halves.
+
+        Tables marked ``_cap_learned`` were already speculatively
+        right-sized by their producer (join/stage learned capacities, with
+        overflow flags feeding the speculation window), so re-checking
+        would pay the sync to learn nothing."""
         if self.capacity <= only_if_above:
+            return self
+        if getattr(self, "_cap_learned", False) and not isinstance(self._nrows, int):
             return self
         newcap = round_capacity(self.nrows)  # may sync a lazy count
         if newcap * 2 > self.capacity:

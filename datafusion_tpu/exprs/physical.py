@@ -34,6 +34,7 @@ from ..columnar.table import Table
 from ..errors import ExecutionError, InternalError, PlanError
 from ..types import ScalarValue
 from ..types.dtypes import (
+    DECIMAL_MAX_PRECISION,
     BOOL,
     DATE32,
     FLOAT64,
@@ -548,9 +549,9 @@ def _decimal_arith(l: CVec, r: CVec, op: str, valid) -> CVec:
     ls = l.dtype.scale if l.dtype.is_decimal else 0
     rs = r.dtype.scale if r.dtype.is_decimal else 0
     if not l.dtype.is_decimal:
-        l = cast_column(l, decimal(38, 0))
+        l = cast_column(l, decimal(DECIMAL_MAX_PRECISION, 0))
     if not r.dtype.is_decimal:
-        r = cast_column(r, decimal(38, 0))
+        r = cast_column(r, decimal(DECIMAL_MAX_PRECISION, 0))
     a = l.data.astype(jnp.int64)
     b = r.data.astype(jnp.int64)
     if op in ("+", "-"):
@@ -558,9 +559,9 @@ def _decimal_arith(l: CVec, r: CVec, op: str, valid) -> CVec:
         a = a * (10 ** (s - ls))
         b = b * (10 ** (s - rs))
         out = a + b if op == "+" else a - b
-        return CVec(decimal(38, s), out, valid)
+        return CVec(decimal(DECIMAL_MAX_PRECISION, s), out, valid)
     if op == "*":
-        return CVec(decimal(38, ls + rs), a * b, valid)
+        return CVec(decimal(DECIMAL_MAX_PRECISION, ls + rs), a * b, valid)
     if op == "/":
         # decimal division computed in float64 (reference promotes too)
         fa = a.astype(jnp.float64) / (10**ls)
@@ -575,7 +576,7 @@ def _decimal_arith(l: CVec, r: CVec, op: str, valid) -> CVec:
         ok = b != 0
         sb = jnp.where(ok, b, 1)
         out = jnp.sign(a) * (jnp.abs(a) % jnp.abs(sb))
-        return CVec(decimal(38, s), out, valid & ok)
+        return CVec(decimal(DECIMAL_MAX_PRECISION, s), out, valid & ok)
     raise PlanError(f"decimal op {op}")
 
 

@@ -17,6 +17,7 @@ from typing import Any, Optional
 from ..errors import PlanError, SchemaError
 from ..types import ScalarValue
 from ..types.dtypes import (
+    DECIMAL_MAX_PRECISION,
     BOOL,
     DATE32,
     FLOAT64,
@@ -269,7 +270,7 @@ class BinaryExpr(Expr):
             # decimal division widens scale; engine computes in float64
             return FLOAT64
         if self.op == "*" and lt.is_decimal and rt.is_decimal:
-            return decimal(38, lt.scale + rt.scale)
+            return decimal(DECIMAL_MAX_PRECISION, lt.scale + rt.scale)
         common = numeric_common_type(lt, rt)
         if common is None:
             if lt == rt:

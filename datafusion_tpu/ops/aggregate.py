@@ -257,7 +257,7 @@ class HashAggregateExec(ExecutionPlan):
         if key_cols:
             # ONE group sort carrying every state column as payload
             # (kernels.py co-sorting note): no perm gathers afterwards
-            ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
+            ordkeys = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in key_cols)
             kvalids = tuple(c.valid for c in key_cols)
             nc = len(t.columns)
             payloads = (
@@ -353,7 +353,7 @@ class HashAggregateExec(ExecutionPlan):
 
 def _group_rows(key_cols, nrows):
     """Sort rows by group keys; return (perm, gid, ngroups, sorted key bufs)."""
-    ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
+    ordkeys = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in key_cols)
     valids = tuple(c.valid for c in key_cols)
     perm = K.lexsort_perm(
         ordkeys,
@@ -445,14 +445,17 @@ def _eval_aggregate(a: PhysAggExpr, t: Table, perm, gid, cap, alive, ngroups, em
 
     if f in ("min", "max"):
         t_in = v.dtype
-        ordk = K.orderable_key(data, t_in)
+        ordk = K.orderable_key(data, t_in, getattr(v, 'vrange', None))
         if t_in.is_float:
             neutral = jnp.inf if f == "min" else -jnp.inf
             vals = jnp.where(valid, data, neutral)
             red = K.segment_min(vals, gid, cap) if f == "min" else K.segment_max(vals, gid, cap)
             out_data = red.astype(t_in.storage_np_dtype())
         else:
-            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            big = jnp.asarray(
+                jnp.iinfo(ordk.dtype).max if f == "min" else jnp.iinfo(ordk.dtype).min,
+                ordk.dtype,
+            )
             vals = jnp.where(valid, ordk, big)
             red = K.segment_min(vals, gid, cap) if f == "min" else K.segment_max(vals, gid, cap)
             out_data = red.astype(t_in.storage_np_dtype())
@@ -510,7 +513,11 @@ def _distinct_mask(v, perm, gid, data, valid, cap):
     grouping itself (the reference uses per-group HashSets,
     distinct_expressions.rs)."""
     ordv = K.orderable_key(data, v.dtype)
-    sentinel = jnp.inf if jnp.issubdtype(ordv.dtype, jnp.floating) else jnp.iinfo(jnp.int64).max
+    sentinel = (
+        jnp.inf
+        if jnp.issubdtype(ordv.dtype, jnp.floating)
+        else jnp.asarray(jnp.iinfo(ordv.dtype).max, ordv.dtype)
+    )
     order = jnp.argsort(jnp.where(valid, ordv, sentinel), stable=True)
     order = order[jnp.argsort(gid[order], stable=True)]
     g2 = gid[order]
@@ -575,7 +582,10 @@ def _merge_aggregate(a: PhysAggExpr, state_cols, perm, gid, cap, alive, ngroups)
             out = red.astype(t_in.storage_np_dtype())
         else:
             ordk = K.orderable_key(d, t_in)
-            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            big = jnp.asarray(
+                jnp.iinfo(ordk.dtype).max if f == "min" else jnp.iinfo(ordk.dtype).min,
+                ordk.dtype,
+            )
             vals = jnp.where(has, ordk, big)
             red = K.segment_min(vals, gid, cap) if f == "min" else K.segment_max(vals, gid, cap)
             out = red.astype(t_in.storage_np_dtype())

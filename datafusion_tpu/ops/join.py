@@ -180,8 +180,8 @@ def _tiny_semi_anti(lt: Table, rt: Table, on, join_type: str) -> Table:
             ltv = _view(lt, ld, lv)
             rtv = _view(rt, rd, rv)
             lkeys, rkeys = _join_keys(ltv, rtv, on)
-            lord = [K.orderable_key(c.data, c.dtype) for c in lkeys]
-            rord = [K.orderable_key(c.data, c.dtype) for c in rkeys]
+            lord = [K.orderable_key(c.data, c.dtype, c.vrange) for c in lkeys]
+            rord = [K.orderable_key(c.data, c.dtype, c.vrange) for c in rkeys]
             lval = [c.valid for c in lkeys]
             rval = [c.valid for c in rkeys]
 
@@ -230,79 +230,148 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
         return _tiny_semi_anti(lt, rt, on, join_type)
     base_key = (_table_sig(lt), _table_sig(rt), repr(on), join_type, repr(filter))
 
-    entry_a = _cache_get(("A",) + base_key)
-    if entry_a is None:
-
-        def phase_a(ld, lv, nl, rd, rv, nr):
-            ltv = _view(lt, ld, lv)
-            rtv = _view(rt, rd, rv)
-            lkeys, rkeys = _join_keys(ltv, rtv, on)
-            # 32-bit folded hashes: half the sort width at native TPU ALU
-            # width; collisions are discarded by exact verification
-            lhash = K.hash_fold32(K.hash_columns(
-                [K.hashable_key(c.data, c.dtype) for c in lkeys],
-                [c.valid for c in lkeys],
-            ))
-            rhash = K.hash_fold32(K.hash_columns(
-                [K.hashable_key(c.data, c.dtype) for c in rkeys],
-                [c.valid for c in rkeys],
-            ))
-            sorted_hash, build_order = K.join_build_sort(rhash, nr)
-            probe_ok = jnp.arange(lcap) < nl
-            for c in lkeys:
-                probe_ok = probe_ok & c.valid
-            lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
-            return lo, counts, build_order, jnp.sum(counts)
-
-        entry_a = jax.jit(phase_a)
-        _cache_put(("A",) + base_key, entry_a)
+    def trace_a(ld, lv, nl, rd, rv, nr):
+        ltv = _view(lt, ld, lv)
+        rtv = _view(rt, rd, rv)
+        lkeys, rkeys = _join_keys(ltv, rtv, on)
+        # 32-bit folded hashes: half the sort width at native TPU ALU
+        # width; collisions are discarded by exact verification
+        lhash = K.hash_fold32(K.hash_columns(
+            [K.hashable_key(c.data, c.dtype) for c in lkeys],
+            [c.valid for c in lkeys],
+        ))
+        rhash = K.hash_fold32(K.hash_columns(
+            [K.hashable_key(c.data, c.dtype) for c in rkeys],
+            [c.valid for c in rkeys],
+        ))
+        sorted_hash, build_order = K.join_build_sort(rhash, nr)
+        probe_ok = jnp.arange(lcap) < nl
+        for c in lkeys:
+            probe_ok = probe_ok & c.valid
+        lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
+        return lo, counts, build_order, jnp.sum(counts)
 
     ld = tuple(c.data for c in lt.columns)
     lv = tuple(c.valid for c in lt.columns)
     rd = tuple(c.data for c in rt.columns)
     rv = tuple(c.valid for c in rt.columns)
     nl, nr = lt.nrows_dev, rt.nrows_dev
-    lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
-    # speculative sizing: pick a static output capacity WITHOUT reading
-    # total_dev (a blocking D2H sync that also drains the dispatch
+
+    # speculative sizing: pick static capacities WITHOUT reading the
+    # candidate total (a blocking D2H sync that also drains the dispatch
     # pipeline — ~28 ms + lost overlap per join through the TPU tunnel);
-    # the overflow flag is checked once per query by the speculation
-    # window (kernels.py note), which reruns exactly if any join
-    # overflowed.  Two sources of a speculative capacity:
-    #   - a LEARNED capacity from a previous exact-sized run of this same
-    #     join shape (repeated queries: steady state is zero syncs for
-    #     every join type, any fan-out)
+    # overflow flags are checked once per query by the speculation window
+    # (kernels.py note), which reruns exactly if any join overflowed.
+    # Two sources of a speculative capacity:
+    #   - LEARNED (expand_cap, out_cap) from a previous exact-sized run of
+    #     this same join shape: expand_cap sizes the candidate expansion
+    #     (from the candidate total), out_cap right-sizes the OUTPUT (from
+    #     the verified row count — a residual filter or hash collisions
+    #     can leave far fewer rows than candidates).  Repeated queries run
+    #     phases A and B fused into ONE program with zero syncs.
     #   - probe capacity, for fan-out<=1 types over small probes: only
     #     below SHRINK_SYNC_MIN_CAP because phase B runs entirely at
-    #     out_cap, so a selective join over a large probe (q17: 778 pairs
-    #     from a 1M-cap probe) would waste orders of magnitude more
-    #     compute than the one sync the exact path costs.
-    spec_cap = None
+    #     expansion capacity, so a selective join over a large probe
+    #     (q17: 778 pairs from a 1M-cap probe) would waste orders of
+    #     magnitude more compute than the one sync the exact path costs.
+    spec_caps = None
     if K.spec_active() and not force_exact:
         learned = _cache_get(("CAP",) + base_key)
         if learned is not None:
-            spec_cap = learned
+            spec_caps = learned
         elif join_type in ("inner", "semi", "anti") and lcap <= SHRINK_SYNC_MIN_CAP:
-            spec_cap = lcap
-    if spec_cap is not None:
-        out_cap = spec_cap
-        K.spec_record((total_dev > out_cap).astype(jnp.int32))
-    else:
-        total = int(total_dev)  # the join's ONE host sync: sizes the output
-        out_cap = round_capacity(max(total, 1))
-        _cache_put(("CAP",) + base_key, out_cap)
-        if metrics is not None:
-            metrics.counter("join_candidates").add(total)
+            spec_caps = (lcap, None)
 
-    entry_b = _cache_get(("B", out_cap) + base_key)
+    if spec_caps is not None:
+        expand_cap, final_cap = spec_caps
+        entry_ab = _cache_get(("AB", expand_cap, final_cap) + base_key)
+        if entry_ab is None:
+            tb = _make_trace_b(
+                lt, rt, on, join_type, filter, lcap, rcap, expand_cap, final_cap
+            )
+
+            def phase_ab(ld, lv, nl, rd, rv, nr):
+                lo, counts, build_order, total = trace_a(ld, lv, nl, rd, rv, nr)
+                out_d, out_v, cnt = tb(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
+                flag = (total > expand_cap).astype(jnp.int32)
+                if final_cap is not None:
+                    flag = flag | (cnt > final_cap).astype(jnp.int32)
+                return out_d, out_v, cnt, flag
+
+            entry_ab = jax.jit(phase_ab)
+            _cache_put(("AB", expand_cap, final_cap) + base_key, entry_ab)
+        out_d, out_v, cnt_dev, flag = entry_ab(ld, lv, nl, rd, rv, nr)
+        K.spec_record(flag)
+        out = _join_out_table(lt, rt, join_type, out_d, out_v, cnt_dev)
+        if final_cap is not None:
+            out._cap_learned = True  # right-sized: downstream shrink can skip its sync
+        return out
+
+    # ---- exact path (first run of this join shape, or post-overflow) ----
+    entry_a = _cache_get(("A",) + base_key)
+    if entry_a is None:
+        entry_a = jax.jit(trace_a)
+        _cache_put(("A",) + base_key, entry_a)
+    lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
+    total = int(total_dev)  # host sync: sizes the candidate expansion
+    expand_cap = round_capacity(max(total, 1))
+    if metrics is not None:
+        metrics.counter("join_candidates").add(total)
+
+    entry_b = _cache_get(("B", expand_cap) + base_key)
     if entry_b is None:
+        entry_b = jax.jit(
+            _make_trace_b(
+                lt, rt, on, join_type, filter, lcap, rcap, expand_cap, None
+            )
+        )
+        _cache_put(("B", expand_cap) + base_key, entry_b)
+    out_d, out_v, cnt_dev = entry_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
+    # learn the verified output size too (second host sync, cold runs
+    # only): warm runs then emit right-sized outputs with zero syncs
+    cnt = int(cnt_dev)
+    _cache_put(("CAP",) + base_key, (expand_cap, round_capacity(max(cnt, 1))))
+    out = _join_out_table(lt, rt, join_type, out_d, out_v, cnt)
+    tgt = round_capacity(max(cnt, 1))
+    if tgt < out.capacity:
+        out = out.with_capacity(tgt)
+    out._cap_learned = True
+    return out
 
-        def phase_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order):
+
+def _join_out_table(lt, rt, join_type, out_d, out_v, cnt) -> Table:
+    if join_type in ("semi", "anti"):
+        names = list(lt.names)
+        src_cols = list(lt.columns)
+    else:
+        names = list(lt.names) + list(rt.names)
+        src_cols = list(lt.columns) + list(rt.columns)
+    cols = [
+        # join outputs are row-subsets of their inputs: value ranges carry
+        Column(c.dtype, d, v, c.dictionary, vrange=c.vrange)
+        for c, d, v in zip(src_cols, out_d, out_v)
+    ]
+    return Table(names, cols, cnt)
+
+
+def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap):
+    """Phase-B tracer: expand candidates at ``out_cap``, verify, and
+    materialize; when ``final_cap`` is given (learned verified size), the
+    output buffers are sliced to it in-trace."""
+
+    def trim(out_d, out_v, cnt):
+        if final_cap is not None and final_cap < out_d[0].shape[0]:
+            out_d = tuple(d[:final_cap] for d in out_d)
+            out_v = tuple(v[:final_cap] for v in out_v)
+            cnt = jnp.minimum(cnt, final_cap)
+        return tuple(out_d), tuple(out_v), cnt
+
+    def phase_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order):
             ltv = _view(lt, ld, lv)
             rtv = _view(rt, rd, rv)
             lkeys, rkeys = _join_keys(ltv, rtv, on)
-            lord = tuple(K.orderable_key(c.data, c.dtype) for c in lkeys)
-            rord = tuple(K.orderable_key(c.data, c.dtype) for c in rkeys)
+            lord = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in lkeys)
+            rord = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in rkeys)
             lval = tuple(c.valid for c in lkeys)
             rval = tuple(c.valid for c in rkeys)
             probe_idx, build_idx, pair_alive, _tot = K.join_expand(
@@ -329,7 +398,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
                 pr_d, pr_v, _ = K.take_rows(rd, rv, bc)
                 out_d = list(pl_d) + list(pr_d)
                 out_v = [v & live for v in pl_v] + [v & live for v in pr_v]
-                return tuple(out_d), tuple(out_v), cnt
+                return trim(tuple(out_d), tuple(out_v), cnt)
 
             if join_type in ("semi", "anti"):
                 # per-probe any-match from the contiguous candidate runs
@@ -337,7 +406,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
                 matched = _any_match_per_probe(counts, ok, out_cap)
                 l_alive = jnp.arange(lcap) < nl
                 keep = (matched if join_type == "semi" else ~matched) & l_alive
-                return K.filter_compact(ld, lv, keep, nl)
+                return trim(*K.filter_compact(ld, lv, keep, nl))
 
             # left / right / full outer: matched pairs, then the unmatched
             # side(s) padded with nulls, squeezed by ONE compaction co-sort
@@ -381,33 +450,16 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
             alive_all = jnp.concatenate(alive_segs)
             datas_all = tuple(jnp.concatenate(s) for s in col_d)
             valids_all = tuple(jnp.concatenate(s) for s in col_v)
-            return K.filter_compact(
+            return trim(*K.filter_compact(
                 datas_all, valids_all, alive_all, jnp.int64(alive_all.shape[0])
-            )
+            ))
 
-        entry_b = jax.jit(phase_b)
-        _cache_put(("B", out_cap) + base_key, entry_b)
-
-    out_d, out_v, cnt_dev = entry_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
-    # cnt stays on device: out_cap is already right-sized from `total`, so
-    # no shrink decision needs the verified count on the host (Table
-    # materializes it lazily if someone asks)
-
-    if join_type in ("semi", "anti"):
-        names = list(lt.names)
-        dts = [c.dtype for c in lt.columns]
-        dics = [c.dictionary for c in lt.columns]
-    else:
-        names = list(lt.names) + list(rt.names)
-        dts = [c.dtype for c in lt.columns] + [c.dtype for c in rt.columns]
-        dics = [c.dictionary for c in lt.columns] + [c.dictionary for c in rt.columns]
-    cols = [Column(dt, d, v, dic) for dt, dic, d, v in zip(dts, dics, out_d, out_v)]
-    return Table(names, cols, cnt_dev)
+    return phase_b
 
 
 def _view(base: Table, datas, valids) -> Table:
     cols = [
-        Column(c.dtype, d, v, c.dictionary)
+        Column(c.dtype, d, v, c.dictionary, vrange=c.vrange)
         for c, d, v in zip(base.columns, datas, valids)
     ]
     return Table(list(base.names), cols, 0)

@@ -43,15 +43,33 @@ from ..types.dtypes import DataType
 # ---------------------------------------------------------------------------
 
 
-def orderable_key(data: jnp.ndarray, dtype: DataType) -> jnp.ndarray:
+def orderable_key(data: jnp.ndarray, dtype: DataType, vrange=None) -> jnp.ndarray:
     """Map a column's storage buffer to keys whose ascending order equals the
-    column's SQL ordering: int64 for integral/dictionary types (strings are
-    order-isomorphic codes since dictionaries are sorted), the raw float64
-    values for floats (XLA's sort handles float total order directly; the
-    int64 bitcast total-order transform is NOT lowerable on TPU under x64
-    emulation)."""
+    column's SQL ordering (strings are order-isomorphic codes since
+    dictionaries are sorted).  Floats sort as themselves (XLA's sort
+    handles float total order directly; the int64 bitcast total-order
+    transform is NOT lowerable on TPU under x64 emulation).
+
+    Keys stay at NATIVE 32-bit width whenever order allows: storage
+    already <= 32 signed bits, or a 64-bit column whose ingest-recorded
+    value range (Column.vrange) fits int32 — x64-emulated int64 sort keys
+    cost ~2x (the fork's total_cmp_32 comparators are the same move,
+    SURVEY.md §1 L0)."""
+    st = data.dtype
     if dtype.is_float:
-        return data.astype(jnp.float64)
+        return data if st in (jnp.float32, jnp.float64) else data.astype(jnp.float64)
+    if st == jnp.int32:
+        return data
+    if st == jnp.bool_ or (st.itemsize < 4 and jnp.issubdtype(st, jnp.signedinteger)):
+        return data.astype(jnp.int32)
+    if st.itemsize < 4 and jnp.issubdtype(st, jnp.unsignedinteger):
+        return data.astype(jnp.int32)
+    if (
+        vrange is not None
+        and -(1 << 31) <= vrange[0]
+        and vrange[1] < (1 << 31)
+    ):
+        return data.astype(jnp.int32)
     return data.astype(jnp.int64)
 
 
@@ -164,13 +182,35 @@ def gather64(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     astype wraps mod 2^64 — a bijection)."""
     if data.dtype.itemsize == 8:
         dt = data.dtype
+        if jnp.issubdtype(dt, jnp.floating):
+            # the TPU X64 rewriter has no f64 bitcast (MICRO.md rule 12);
+            # native f64 gathers lower fine
+            return data[idx.astype(jnp.int32)]
         if jnp.issubdtype(dt, jnp.unsignedinteger):
-            return gather64(data.astype(jnp.int64), idx).astype(dt)
+            pairs = _u64_to_words(data)
+            return _words_to_u64(pairs[idx.astype(jnp.int32)], dt)
         pairs = jax.lax.bitcast_convert_type(data, jnp.int32)
         if pairs.ndim == 2:  # [N, 2] words
             return jax.lax.bitcast_convert_type(pairs[idx.astype(jnp.int32)], dt)
         # some backends keep 64-bit types native; fall through
     return data[idx.astype(jnp.int32)]
+
+
+def _u64_to_words(d: jnp.ndarray) -> jnp.ndarray:
+    """u64[N] -> i32[N, 2] (lo, hi) via shifts + 32-bit converts.
+
+    The TPU X64 rewriter has no u64 bitcast, and even `astype(int64)`
+    canonicalizes to one (a bit-preserving convert IS a bitcast to XLA) —
+    arithmetic splitting is the only lowerable route."""
+    lo = d.astype(jnp.uint32).astype(jnp.int32)
+    hi = (d >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _words_to_u64(w: jnp.ndarray, dt) -> jnp.ndarray:
+    lo = w[..., 0].astype(jnp.uint32).astype(jnp.uint64)
+    hi = w[..., 1].astype(jnp.uint32).astype(jnp.uint64)
+    return ((hi << jnp.uint64(32)) | lo).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -193,11 +233,13 @@ def _data_to_words(d: jnp.ndarray) -> jnp.ndarray:
     sub-32-bit types widen via astype).
 
     TPU's X64 rewriter implements bitcasts only for SIGNED 64-bit and
-    float element types (u64 bitcasts fail to compile); unsigned ints
-    first reinterpret as signed via astype, which wraps mod 2^width — a
-    bijection, inverted the same way in _words_to_data."""
+    float element types; u64 splits arithmetically (_u64_to_words — even
+    `astype(int64)` canonicalizes into the unsupported u64 bitcast)."""
+    if jnp.issubdtype(d.dtype, jnp.unsignedinteger) and d.dtype.itemsize == 8:
+        w = _u64_to_words(d)  # [N, 2] or [N, k, 2]
+        return w.reshape(d.shape[0], -1)
     if jnp.issubdtype(d.dtype, jnp.unsignedinteger):
-        d = d.astype(jnp.int64 if d.dtype.itemsize == 8 else jnp.int32)
+        d = d.astype(jnp.int32)
     if d.ndim == 2:
         if d.dtype.itemsize == 8:
             w = jax.lax.bitcast_convert_type(d, jnp.int32)  # [N, k, 2]
@@ -221,11 +263,13 @@ def _words_to_data(w: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     """Inverse of _data_to_words: w is [N, words_per(like)]."""
     dt = like.dtype
     unsigned = jnp.issubdtype(dt, jnp.unsignedinteger)
-    via = (
-        (jnp.int64 if dt.itemsize == 8 else jnp.int32)
-        if unsigned
-        else dt
-    )
+    if unsigned and dt.itemsize == 8:
+        if like.ndim == 2:
+            return _words_to_u64(
+                w.reshape(w.shape[0], like.shape[1], 2), dt
+            )
+        return _words_to_u64(w, dt)
+    via = jnp.int32 if unsigned else dt
     if like.ndim == 2:
         k = like.shape[1]
         if dt.itemsize == 8:
@@ -254,33 +298,62 @@ def take_rows(datas: tuple, valids: tuple, idx: jnp.ndarray, extra_masks: tuple 
     datas = tuple(datas)
     valids = tuple(valids)
     masks = tuple(valids) + tuple(extra_masks)
-    total_words = sum(_words_per(d) for d in datas) + (len(masks) + 31) // 32
-    if total_words <= 2:
+    # f64 columns ride their OWN native-f64 matrix: the TPU X64 rewriter
+    # has no f64 bitcast (measured 2026-08-20), but native f64 gathers
+    # lower fine — one extra row gather only when f64 columns exist
+    f64_pos = [
+        j for j, d in enumerate(datas)
+        if jnp.issubdtype(d.dtype, jnp.floating) and d.dtype.itemsize == 8
+    ]
+    word_pos = [j for j in range(len(datas)) if j not in f64_pos]
+    total_words = sum(_words_per(datas[j]) for j in word_pos) + (
+        len(masks) + 31
+    ) // 32
+    if total_words <= 2 and len(f64_pos) <= 1:
         # packing overhead isn't paid back below ~3 planes
         i32 = idx.astype(jnp.int32)
         return (
-            tuple(gather64(d, i32) for d in datas),
+            tuple(
+                d[i32]
+                if jnp.issubdtype(d.dtype, jnp.floating) and d.dtype.itemsize == 8
+                else gather64(d, i32)
+                for d in datas
+            ),
             tuple(v[i32] for v in valids),
             tuple(m[i32] for m in extra_masks),
         )
-    planes = [_data_to_words(d) for d in datas]
+    i32 = idx.astype(jnp.int32)
+    out_d: list = [None] * len(datas)
+    if f64_pos:
+        fplanes = [
+            datas[j][:, None] if datas[j].ndim == 1 else datas[j]
+            for j in f64_pos
+        ]
+        fg = jnp.concatenate(fplanes, axis=1)[i32]
+        off = 0
+        for j in f64_pos:
+            k = 1 if datas[j].ndim == 1 else datas[j].shape[1]
+            got = fg[:, off : off + k]
+            out_d[j] = got[:, 0] if datas[j].ndim == 1 else got
+            off += k
+    planes = [_data_to_words(datas[j]) for j in word_pos]
     for base in range(0, len(masks), 32):
         word = jnp.zeros(masks[0].shape[0], jnp.int32)
         for i, m in enumerate(masks[base : base + 32]):
             word = word | (m.astype(jnp.int32) << i)
         planes.append(word[:, None])
-    packed = jnp.concatenate(planes, axis=1)
-    g = packed[idx.astype(jnp.int32)]
-    out_d = []
-    off = 0
-    for d in datas:
-        w = _words_per(d)
-        out_d.append(_words_to_data(g[:, off : off + w], d))
-        off += w
-    out_m = []
-    for i in range(len(masks)):
-        word = g[:, off + i // 32]
-        out_m.append(((word >> (i % 32)) & 1) != 0)
+    out_m: list = []
+    if planes:
+        packed = jnp.concatenate(planes, axis=1)
+        g = packed[i32]
+        off = 0
+        for j in word_pos:
+            w = _words_per(datas[j])
+            out_d[j] = _words_to_data(g[:, off : off + w], datas[j])
+            off += w
+        for i in range(len(masks)):
+            word = g[:, off + i // 32]
+            out_m.append(((word >> (i % 32)) & 1) != 0)
     return tuple(out_d), tuple(out_m[: len(valids)]), tuple(out_m[len(valids):])
 
 

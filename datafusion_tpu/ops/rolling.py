@@ -237,13 +237,14 @@ class RollingWindowAggExec(ExecutionPlan):
             data = v.data[perm]
             valid_in = v.valid[perm]
             sdt = v.dtype.storage_np_dtype()
+            ordk = K.orderable_key(data, v.dtype)
             if v.dtype.is_float:
                 neutral = jnp.inf if f == "min" else -jnp.inf
             else:
-                neutral = (
-                    jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+                neutral = jnp.asarray(
+                    jnp.iinfo(ordk.dtype).max if f == "min" else jnp.iinfo(ordk.dtype).min,
+                    ordk.dtype,
                 )
-            ordk = K.orderable_key(data, v.dtype)
             x = jnp.where(valid_in, ordk, neutral)
             combine = jnp.minimum if f == "min" else jnp.maximum
             M = bucketize(x, kind=f)

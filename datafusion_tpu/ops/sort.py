@@ -77,7 +77,7 @@ class SortExec(ExecutionPlan):
 
 def sort_table(t: Table, sort_exprs: list[PhysSortExpr]) -> Table:
     key_cols = [s.expr.evaluate(t) for s in sort_exprs]
-    ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols)
+    ordkeys = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in key_cols)
     valids = tuple(c.valid for c in key_cols)
     # every table column rides through the sorting network as a payload —
     # zero gathers (see kernels.py co-sorting note)

@@ -578,8 +578,9 @@ def _window_aggregate_range(f, v, dtype, gid, lo, hi, alive, cap):
             x = jnp.where(mask, v.data, neutral)
         else:
             ordk = K.orderable_key(v.data, v.dtype)
-            neutral = (
-                jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            neutral = jnp.asarray(
+                jnp.iinfo(ordk.dtype).max if f == "min" else jnp.iinfo(ordk.dtype).min,
+                ordk.dtype,
             )
             x = jnp.where(mask, ordk, neutral)
         out = _range_minmax(x, lo, hi, cap, opfn, neutral)

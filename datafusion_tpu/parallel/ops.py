@@ -1175,6 +1175,48 @@ _GLOBAL_WIN_FUNS = (
 ) + _GLOBAL_WIN_AGGS
 
 
+# explicit ROWS frames distribute with a static edge halo (the lag/lead
+# mechanism generalized): bounded offsets up to this many rows cross shard
+# boundaries via one ppermute each way
+_DIST_FRAME_HALO = 128
+
+
+def _frame_deltas(fr):
+    """Signed row deltas (start, end) relative to the current row; None
+    means unbounded."""
+
+    def delta(b):
+        if b.kind == "current":
+            return 0
+        if b.offset is None:
+            return None
+        off = int(b.offset)
+        return -off if b.kind == "preceding" else off
+
+    return delta(fr.start), delta(fr.end)
+
+
+def _dist_frame_eligible(w) -> bool:
+    """Mesh-native explicit frames: ROWS with bounded offsets <= the halo,
+    or UNBOUNDED PRECEDING with a non-negative bounded end (running
+    frames).  RANGE/GROUPS offsets and suffix frames fall back to the
+    single-partition gather (par with the reference, which pins ALL
+    windows to one partition, windows/window_agg_exec.rs)."""
+    if w.fun not in _GLOBAL_WIN_AGGS:
+        # the local engine applies frames only to aggregates; ranking /
+        # value functions ignore them — same here
+        return True
+    fr = w.frame
+    if fr.units != "rows":
+        return False
+    a, b = _frame_deltas(fr)
+    if b is None or abs(b) > _DIST_FRAME_HALO:
+        return False
+    if a is None:
+        return b >= 0  # running frame [start of table, i+b]
+    return abs(a) <= _DIST_FRAME_HALO
+
+
 def global_window_eligible(window_exprs) -> bool:
     """True when a no-PARTITION-BY window node can run mesh-native via
     dist_window_global.  Host-side STRUCTURAL check — the executor gathers
@@ -1197,8 +1239,8 @@ def global_window_eligible(window_exprs) -> bool:
     if any(sig != longest[: len(sig)] for sig in sigs):
         return False
     for w, sig in zip(window_exprs, sigs):
-        if w.frame is not None:
-            return False  # explicit frames: no distributed carry yet
+        if w.frame is not None and not _dist_frame_eligible(w):
+            return False
         if w.fun not in _GLOBAL_WIN_FUNS:
             return False
         if not sig and w.fun not in _GLOBAL_WIN_AGGS:
@@ -1211,6 +1253,135 @@ def global_window_eligible(window_exprs) -> bool:
             ):
                 return False
     return True
+
+
+def _halo_ext(plane, fill, ctx):
+    """Extended per-shard view of a row-aligned plane: ext[q] = the plane's
+    value at GLOBAL row (row_off - H + q), q in [0, fcap + 2H).
+
+    Built from all-gathered [ndev, H] head/tail edge planes, so a frame
+    that spans several tiny shards still resolves exactly (the shard of a
+    global row within +-H of this shard's range always holds it within H
+    of its own edge).  Out-of-table positions read ``fill``."""
+    H = _DIST_FRAME_HALO
+    nloc, fcap = ctx["nloc"], ctx["fcap"]
+    ndev, row_off = ctx["ndev"], ctx["row_off"]
+    ends, offsets, N = ctx["ends"], ctx["offsets"], ctx["N"]
+    hidx = jnp.arange(H)
+    if fcap < H:  # tiny shards: pad so the [H] edge planes index safely
+        plane = jnp.concatenate([plane, jnp.full(H - fcap, fill, plane.dtype)])
+    head = jnp.where(hidx < nloc, plane[:H], fill)
+    tpos = nloc - H + hidx
+    tail = jnp.where(
+        tpos >= 0, plane[jnp.clip(tpos, 0, plane.shape[0] - 1).astype(jnp.int32)], fill
+    )
+    heads_all = jax.lax.all_gather(head, AXIS)  # [ndev, H]
+    tails_all = jax.lax.all_gather(tail, AXIS)
+
+    q = jnp.arange(fcap + 2 * H)
+    j = row_off - H + q  # global row of ext slot q
+    in_table = (j >= 0) & (j < N)
+    is_local = (j >= row_off) & (j < row_off + nloc)
+    # owning shard: first shard whose end exceeds j
+    s = jnp.sum((ends[None, :] <= j[:, None]).astype(jnp.int32), axis=1)
+    s = jnp.clip(s, 0, ndev - 1)
+    d_head = j - offsets[s]  # position from the owner's start
+    use_head = d_head < H
+    hv = heads_all[s, jnp.clip(d_head, 0, H - 1).astype(jnp.int32)]
+    tv = tails_all[s, jnp.clip(H - (ends[s] - j), 0, H - 1).astype(jnp.int32)]
+    remote = jnp.where(use_head, hv, tv)
+    local = plane[jnp.clip(j - row_off, 0, fcap - 1).astype(jnp.int32)]
+    out = jnp.where(is_local, local, remote)
+    return jnp.where(in_table, out, fill)
+
+
+def _framed_window_aggregate(f, w, varg, mask, ctx):
+    """Explicit ROWS frame over the mesh (no PARTITION BY): the frame
+    [i+a, i+b] reads at most _DIST_FRAME_HALO rows beyond the shard edge,
+    served by `_halo_ext`; running frames (UNBOUNDED PRECEDING) add the
+    preceding-shard totals like the default frame does.  Mirrors the local
+    `_window_aggregate_range` null semantics exactly."""
+    from ..ops.aggregate import _to_float
+
+    H = _DIST_FRAME_HALO
+    fcap, alive = ctx["fcap"], ctx["alive"]
+    prefix_sum_across = ctx["prefix_sum_across"]
+    a, b = _frame_deltas(w.frame)
+    ar = jnp.arange(fcap)
+
+    cnt_ext = _halo_ext(mask.astype(jnp.int64), jnp.int64(0), ctx)
+    ccnt = jnp.cumsum(cnt_ext)
+
+    def ext_sum(c, lo_idx, hi_idx):
+        hi_v = c[jnp.clip(hi_idx, 0, c.shape[0] - 1)]
+        lo_ok = lo_idx - 1 >= 0
+        lo_v = jnp.where(
+            lo_ok, c[jnp.clip(lo_idx - 1, 0, c.shape[0] - 1)], jnp.zeros((), c.dtype)
+        )
+        return jnp.where(hi_idx >= lo_idx, hi_v - lo_v, jnp.zeros((), c.dtype))
+
+    hi_idx = ar + H + b
+    if a is None:
+        # running frame: everything before this shard + ext prefix to i+b
+        cnt = prefix_sum_across(jnp.sum(mask.astype(jnp.int64))) + ext_sum(
+            ccnt, jnp.full(fcap, H), hi_idx
+        )
+    else:
+        lo_idx = ar + H + a
+        cnt = ext_sum(ccnt, lo_idx, hi_idx)
+
+    if f == "count":
+        return cnt, alive
+    has = cnt > 0
+
+    if f in ("sum", "avg", "mean"):
+        if f == "sum":
+            acc = varg.data.astype(w.dtype.storage_np_dtype())
+            x = jnp.where(mask, acc, jnp.zeros((), acc.dtype))
+        else:
+            x = jnp.where(mask, _to_float(varg.data, varg.dtype), 0.0)
+        cx = jnp.cumsum(_halo_ext(x, jnp.zeros((), x.dtype), ctx))
+        if a is None:
+            s = prefix_sum_across(jnp.sum(x)) + ext_sum(
+                cx, jnp.full(fcap, H), hi_idx
+            )
+        else:
+            s = ext_sum(cx, ar + H + a, hi_idx)
+        if f == "sum":
+            return s, alive & has
+        return s / jnp.maximum(cnt, 1), alive & has
+
+    # min / max
+    from ..ops.window import _range_minmax
+
+    opfn = jnp.minimum if f == "min" else jnp.maximum
+    if varg.dtype.is_float:
+        neutral = jnp.inf if f == "min" else -jnp.inf
+        x = jnp.where(mask, varg.data, neutral)
+    else:
+        ordk = K.orderable_key(varg.data, varg.dtype)
+        neutral = jnp.asarray(
+            jnp.iinfo(ordk.dtype).max if f == "min" else jnp.iinfo(ordk.dtype).min,
+            ordk.dtype,
+        )
+        x = jnp.where(mask, ordk, neutral)
+    ext = _halo_ext(x, jnp.asarray(neutral, x.dtype), ctx)
+    extcap = fcap + 2 * H
+    if a is None:
+        # prior shards reduce wholly; the ext's tail region is a subset of
+        # them, so including it in the running reduce is idempotent
+        me, ndev = ctx["me"], ctx["ndev"]
+        g = jax.lax.all_gather(
+            (jnp.min if f == "min" else jnp.max)(x), AXIS
+        ).reshape(-1)
+        prior = (jnp.min if f == "min" else jnp.max)(
+            jnp.where(jnp.arange(ndev) < me, g, neutral)
+        )
+        run = jax.lax.cummin(ext) if f == "min" else jax.lax.cummax(ext)
+        out = opfn(prior, run[jnp.clip(hi_idx, 0, extcap - 1)])
+    else:
+        out = _range_minmax(ext, ar + H + a, hi_idx, extcap, opfn, neutral)
+    return out.astype(varg.dtype.storage_np_dtype()), alive & has
 
 
 def dist_window_global(st: ShardedTable, window_exprs):
@@ -1463,6 +1634,16 @@ def dist_window_global(st: ShardedTable, window_exprs):
             mask = (
                 (varg.valid & alive) if varg is not None else alive
             )
+            if w.frame is not None:
+                d, v_ = _framed_window_aggregate(
+                    f, w, varg, mask,
+                    dict(nloc=nloc, fcap=fcap, ndev=ndev, me=me,
+                         row_off=row_off, ends=ends, offsets=offsets, N=N,
+                         alive=alive, prefix_sum_across=prefix_sum_across),
+                )
+                out_d.append(d)
+                out_v.append(v_)
+                continue
             w_ordered = bool(w.order_by)
             if w_ordered:
                 _, _, pe = peers(w.order_by)
@@ -1505,14 +1686,14 @@ def dist_window_global(st: ShardedTable, window_exprs):
                     neutral = jnp.inf if f == "min" else -jnp.inf
                     x = jnp.where(mask, varg.data, neutral)
                 else:
-                    neutral = (
-                        jnp.iinfo(jnp.int64).max
+                    vok = K.orderable_key(varg.data, varg.dtype)
+                    neutral = jnp.asarray(
+                        jnp.iinfo(vok.dtype).max
                         if f == "min"
-                        else jnp.iinfo(jnp.int64).min
+                        else jnp.iinfo(vok.dtype).min,
+                        vok.dtype,
                     )
-                    x = jnp.where(
-                        mask, K.orderable_key(varg.data, varg.dtype), neutral
-                    )
+                    x = jnp.where(mask, vok, neutral)
                 g = jax.lax.all_gather(redfn(x), AXIS).reshape(-1)
                 if w_ordered:
                     run = (

@@ -258,6 +258,7 @@ class CompiledStage:
                         [c.with_capacity(learned) for c in t.columns],
                         jnp.minimum(t.nrows_dev, learned),
                     )
+                t._cap_learned = True  # downstream shrinks can skip their sync
                 return t
             tgt = round_capacity(t.nrows)
             if owned_source:
@@ -269,7 +270,7 @@ class CompiledStage:
     # ------------------------------------------------------------------
     def _table_view(self, datas, valids, base: Table) -> Table:
         cols = [
-            Column(c.dtype, d, v, c.dictionary)
+            Column(c.dtype, d, v, c.dictionary, vrange=c.vrange)
             for c, d, v in zip(base.columns, datas, valids)
         ]
         return Table(list(base.names), cols, 0)
@@ -396,7 +397,7 @@ class CompiledStage:
                 ordkeys, kvalids, descs, nfs = [], [], [], []
                 for s in op.sort_exprs:
                     c = s.expr.evaluate(view)
-                    ordkeys.append(K.orderable_key(c.data, c.dtype))
+                    ordkeys.append(K.orderable_key(c.data, c.dtype, c.vrange))
                     kvalids.append(c.valid)
                     descs.append(not s.ascending)
                     nfs.append(s.nulls_first)
@@ -503,7 +504,7 @@ def _traced_aggregate(op: HashAggregateExec, t: Table, alive, cap, int_ranges=No
     # directly on the sorted table (kernels.py co-sorting note). ----
     n = jnp.sum(alive)
     key_cols_raw = [e.evaluate(t) for e, _ in op.group_expr]
-    ordkeys = tuple(K.orderable_key(c.data, c.dtype) for c in key_cols_raw)
+    ordkeys = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in key_cols_raw)
     kvalids = tuple(c.valid & alive for c in key_cols_raw)
     ncols = len(t.columns)
     nk = len(key_cols_raw)
@@ -790,7 +791,10 @@ def _eval_aggregate_slots(a: PhysAggExpr, t: Table, hit, emit_state):
             out = red.astype(t_in.storage_np_dtype())
         else:
             ordk = K.orderable_key(v.data, t_in)
-            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            big = jnp.asarray(
+                jnp.iinfo(ordk.dtype).max if f == "min" else jnp.iinfo(ordk.dtype).min,
+                ordk.dtype,
+            )
             vals = jnp.where(vv, ordk[None, :], big)
             red = jnp.min(vals, axis=1) if f == "min" else jnp.max(vals, axis=1)
             out = red.astype(t_in.storage_np_dtype())
@@ -879,7 +883,10 @@ def _eval_aggregate_nogroup(a: PhysAggExpr, t: Table, alive, out_cap, emit_state
             red = (jnp.min if f == "min" else jnp.max)(jnp.where(m, v.data, neutral))
         else:
             ordk = K.orderable_key(v.data, t_in)
-            big = jnp.iinfo(jnp.int64).max if f == "min" else jnp.iinfo(jnp.int64).min
+            big = jnp.asarray(
+                jnp.iinfo(ordk.dtype).max if f == "min" else jnp.iinfo(ordk.dtype).min,
+                ordk.dtype,
+            )
             red = (jnp.min if f == "min" else jnp.max)(jnp.where(m, ordk, big))
         if emit_state:
             return [one(red.astype(dt), has, dt), one(cnt, True, jnp.int64)]
@@ -918,7 +925,9 @@ def _eval_aggregate_nogroup_distinct(a, t, alive, out_cap, emit_state):
     ordk = K.orderable_key(v.data, v.dtype)
     m = alive & v.valid
     sentinel = (
-        jnp.inf if jnp.issubdtype(ordk.dtype, jnp.floating) else jnp.iinfo(jnp.int64).max
+        jnp.inf
+        if jnp.issubdtype(ordk.dtype, jnp.floating)
+        else jnp.asarray(jnp.iinfo(ordk.dtype).max, ordk.dtype)
     )
     keys = jnp.where(m, ordk, sentinel)
     sk = jnp.sort(keys)
@@ -939,11 +948,12 @@ def _eval_aggregate_nogroup_distinct(a, t, alive, out_cap, emit_state):
         dt = rt.storage_np_dtype() if f == "sum" else np.dtype(np.float64)
         vals = jnp.where(firsts, sk, 0)
         if f == "avg":
-            s = jnp.sum(vals).astype(jnp.float64)
+            s = jnp.sum(vals.astype(jnp.float64))
             if v.dtype.is_decimal:  # orderable key is the scaled int
                 s = s / (10**v.dtype.scale)
             return [one(s / jnp.maximum(cnt, 1), cnt > 0, jnp.float64)]
-        s = jnp.sum(vals).astype(dt)
+        # accumulate at the RETURN width (keys may ride narrowed int32)
+        s = jnp.sum(vals.astype(dt))
         return [one(s, cnt > 0, dt)]
     if f in ("min", "max"):
         return _eval_aggregate_nogroup(

@@ -923,8 +923,19 @@ def parse_sql_type(name: str) -> DataType:
     if base in m:
         return m[base]
     if base in ("decimal", "numeric"):
-        p = args[0] if args else 38
+        p = args[0] if args else 18
         s = args[1] if len(args) > 1 else 0
+        if p > 18:
+            # int64-backed decimal (the fork's Int64Decimal,
+            # scalar.rs:54-58) holds 18 full decimal digits; the fork's
+            # Int96Decimal tier is deliberately out of scope — reject
+            # loudly instead of wrapping silently (docs/user-guide.md
+            # "Supported types")
+            raise ParserError(
+                f"DECIMAL({p},{s}) exceeds the supported precision: this "
+                "engine stores decimals as int64*10^-s (max precision 18). "
+                "Use DECIMAL(<=18, s) or DOUBLE."
+            )
         return decimal(p, s)
     raise ParserError(f"unsupported SQL type '{name}'")
 

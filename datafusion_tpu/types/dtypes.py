@@ -170,6 +170,14 @@ STRING = DataType("string")
 NULLTYPE = DataType("null")
 
 
+# int64 storage holds 18 full decimal digits — the fork's Int64Decimal
+# tier (/root/reference/datafusion/src/scalar.rs:54-58).  Its Int96Decimal
+# (p>18) tier is deliberately unsupported: the SQL layer REJECTS
+# DECIMAL(p>18) declarations (sql/parser.py) rather than wrapping silently
+# (docs/user-guide.md "Supported types").
+DECIMAL_MAX_PRECISION = 18
+
+
 def decimal(precision: int, scale: int) -> DataType:
     """DECIMAL(p, s) stored as int64 * 10**-s (fork's Int64Decimal)."""
     return DataType("decimal", precision=precision, scale=scale)
@@ -200,11 +208,11 @@ def numeric_common_type(lhs: DataType, rhs: DataType) -> DataType | None:
         if lhs.is_decimal and rhs.is_decimal:
             s = max(lhs.scale, rhs.scale)
             p = max(lhs.precision - lhs.scale, rhs.precision - rhs.scale) + s
-            return decimal(min(p, 38), s)
+            return decimal(min(p, DECIMAL_MAX_PRECISION), s)
         other = rhs if lhs.is_decimal else lhs
         dec = lhs if lhs.is_decimal else rhs
         if other.is_integer:
-            return decimal(38, dec.scale)
+            return decimal(DECIMAL_MAX_PRECISION, dec.scale)
         return FLOAT64
     # integer widening
     def rank(t: DataType) -> int:

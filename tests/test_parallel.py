@@ -492,15 +492,46 @@ def test_dist_window_global_order_mesh_native():
         key = lambda d: sorted(zip(*d.values()), key=repr)
         assert key(got) == key(want), q
 
-    # explicit frames stay a structural gather (matches the reference's
-    # SinglePartition requirement) — and must still be correct
-    q = ("SELECT i, sum(v) OVER (ORDER BY k, i ROWS BETWEEN 2 PRECEDING "
+    # explicit ROWS frames run mesh-native too (round 4): bounded offsets
+    # cross shard edges via static halos; running frames add the
+    # preceding-shard totals.  (The reference pins ALL of these to one
+    # partition.)
+    frame_queries = [
+        # bounded both sides, straddling shard boundaries + nulls
+        "SELECT i, sum(v) OVER (ORDER BY k, i ROWS BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW) AS sv, "
+        "count(v) OVER (ORDER BY k, i ROWS BETWEEN 2 PRECEDING AND "
+        "CURRENT ROW) AS cv FROM t",
+        "SELECT i, avg(v) OVER (ORDER BY k, i ROWS BETWEEN 3 PRECEDING "
+        "AND 5 FOLLOWING) AS av, "
+        "min(v) OVER (ORDER BY k, i ROWS BETWEEN 3 PRECEDING AND "
+        "5 FOLLOWING) AS mv, "
+        "max(v) OVER (ORDER BY k, i ROWS BETWEEN 1 FOLLOWING AND "
+        "90 FOLLOWING) AS xv FROM t",
+        # running frame by ROWS (current-row end, not peer end)
+        "SELECT i, sum(v) OVER (ORDER BY k, i ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS rv, "
+        "max(v) OVER (ORDER BY k, i ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND 2 FOLLOWING) AS xv FROM t",
+    ]
+    key = lambda d: sorted(zip(*d.values()), key=repr)
+    for q in frame_queries:
+        phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
+        ex = SpmdExecutor(mesh, strict=True)
+        got = ex.execute_plan(phys).to_pydict()
+        assert any(
+            op == "WindowAggExec" and m == "mesh" for op, m in ex.node_modes
+        ), (q, ex.node_modes)
+        assert key(got) == key(ctx.sql(q).collect().to_pydict()), q
+
+    # RANGE frames with offsets still gather (documented fallback, par
+    # with the reference's SinglePartition requirement) — and stay correct
+    q = ("SELECT i, sum(v) OVER (ORDER BY i RANGE BETWEEN 2 PRECEDING "
          "AND CURRENT ROW) AS sv FROM t")
     phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
     ex = SpmdExecutor(mesh, strict=True)
     got = ex.execute_plan(phys).to_pydict()
     assert ("WindowAggExec", "gather") in ex.node_modes
-    key = lambda d: sorted(zip(*d.values()), key=repr)
     assert key(got) == key(ctx.sql(q).collect().to_pydict())
 
 

@@ -354,3 +354,16 @@ def test_string_functions_with_column_arguments():
     ).to_pydict()
     assert out3["f"] == [".al", "he", "x", None]
     assert out3["g"] == ["_phabet", "_llo", None, "_y"]
+
+
+def test_decimal_precision_bound(ctx):
+    # int64-backed decimals hold 18 digits; p>18 must be rejected loudly
+    # (never silently wrapped) — documented supported-types bound
+    import pytest
+
+    from datafusion_tpu.errors import ParserError
+
+    out = q(ctx, "SELECT CAST(v AS DECIMAL(18, 2)) AS d FROM t LIMIT 1")
+    assert "d" in out
+    with pytest.raises(ParserError, match="precision"):
+        ctx.sql("SELECT CAST(v AS DECIMAL(19, 2)) FROM t")
