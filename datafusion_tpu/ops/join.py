@@ -249,7 +249,8 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
         for c in lkeys:
             probe_ok = probe_ok & c.valid
         lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
-        return lo, counts, build_order, jnp.sum(counts)
+        stats = jnp.stack([jnp.sum(counts), jnp.max(counts)])
+        return lo, counts, build_order, stats
 
     ld = tuple(c.data for c in lt.columns)
     lv = tuple(c.valid for c in lt.columns)
@@ -280,26 +281,31 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
         if learned is not None:
             spec_caps = learned
         elif join_type in ("inner", "semi", "anti") and lcap <= SHRINK_SYNC_MIN_CAP:
-            spec_caps = (lcap, None)
+            spec_caps = (lcap, None, False)
 
     if spec_caps is not None:
-        expand_cap, final_cap = spec_caps
-        entry_ab = _cache_get(("AB", expand_cap, final_cap) + base_key)
+        expand_cap, final_cap, fk = spec_caps
+        entry_ab = _cache_get(("AB", expand_cap, final_cap, fk) + base_key)
         if entry_ab is None:
             tb = _make_trace_b(
-                lt, rt, on, join_type, filter, lcap, rcap, expand_cap, final_cap
+                lt, rt, on, join_type, filter, lcap, rcap, expand_cap, final_cap,
+                fk=fk,
             )
 
             def phase_ab(ld, lv, nl, rd, rv, nr):
-                lo, counts, build_order, total = trace_a(ld, lv, nl, rd, rv, nr)
+                lo, counts, build_order, stats = trace_a(ld, lv, nl, rd, rv, nr)
                 out_d, out_v, cnt = tb(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
-                flag = (total > expand_cap).astype(jnp.int32)
+                flag = (stats[0] > expand_cap).astype(jnp.int32)
+                if fk:
+                    # the FK-specialized expansion assumes fan-out <= 1;
+                    # a build-side duplicate key invalidates it
+                    flag = flag | (stats[1] > 1).astype(jnp.int32)
                 if final_cap is not None:
                     flag = flag | (cnt > final_cap).astype(jnp.int32)
                 return out_d, out_v, cnt, flag
 
             entry_ab = jax.jit(phase_ab)
-            _cache_put(("AB", expand_cap, final_cap) + base_key, entry_ab)
+            _cache_put(("AB", expand_cap, final_cap, fk) + base_key, entry_ab)
         out_d, out_v, cnt_dev, flag = entry_ab(ld, lv, nl, rd, rv, nr)
         K.spec_record(flag)
         out = _join_out_table(lt, rt, join_type, out_d, out_v, cnt_dev)
@@ -313,7 +319,12 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
         entry_a = jax.jit(trace_a)
         _cache_put(("A",) + base_key, entry_a)
     lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
-    total = int(total_dev)  # host sync: sizes the candidate expansion
+    # ONE host transfer for (candidate total, max fan-out): total sizes the
+    # expansion; fan-out <= 1 (FK/PK joins — nearly every TPC-H join)
+    # unlocks the expansion-free phase-B specialization on warm runs
+    stats = np.asarray(jax.device_get(total_dev))
+    total = int(stats[0])
+    fan = int(stats[1])
     expand_cap = round_capacity(max(total, 1))
     if metrics is not None:
         metrics.counter("join_candidates").add(total)
@@ -330,7 +341,10 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
     # learn the verified output size too (second host sync, cold runs
     # only): warm runs then emit right-sized outputs with zero syncs
     cnt = int(cnt_dev)
-    _cache_put(("CAP",) + base_key, (expand_cap, round_capacity(max(cnt, 1))))
+    _cache_put(
+        ("CAP",) + base_key,
+        (expand_cap, round_capacity(max(cnt, 1)), fan <= 1),
+    )
     out = _join_out_table(lt, rt, join_type, out_d, out_v, cnt)
     tgt = round_capacity(max(cnt, 1))
     if tgt < out.capacity:
@@ -354,10 +368,17 @@ def _join_out_table(lt, rt, join_type, out_d, out_v, cnt) -> Table:
     return Table(names, cols, cnt)
 
 
-def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap):
+def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap, fk=False):
     """Phase-B tracer: expand candidates at ``out_cap``, verify, and
     materialize; when ``final_cap`` is given (learned verified size), the
-    output buffers are sliced to it in-trace."""
+    output buffers are sliced to it in-trace.
+
+    ``fk=True`` (learned fan-out <= 1, flag-guarded): candidate pair r IS
+    probe row r with its single run head — the run-expansion merge sorts
+    (two ~(probe+build)-sized variadic sorts) vanish entirely.  Nearly
+    every TPC-H join is FK-shaped."""
+    if fk:
+        out_cap = lcap
 
     def trim(out_d, out_v, cnt):
         if final_cap is not None and final_cap < out_d[0].shape[0]:
@@ -374,9 +395,15 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap)
             rord = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in rkeys)
             lval = tuple(c.valid for c in lkeys)
             rval = tuple(c.valid for c in rkeys)
-            probe_idx, build_idx, pair_alive, _tot = K.join_expand(
-                lo, counts, build_order, out_cap
-            )
+            if fk:
+                probe_idx = jnp.arange(lcap, dtype=jnp.int64)
+                bpos = jnp.clip(lo, 0, build_order.shape[0] - 1).astype(jnp.int32)
+                build_idx = K.gather64(build_order, bpos)
+                pair_alive = counts > 0
+            else:
+                probe_idx, build_idx, pair_alive, _tot = K.join_expand(
+                    lo, counts, build_order, out_cap
+                )
             ok = K.verify_equal(
                 lord, lval, rord, rval, probe_idx, build_idx, pair_alive
             )
@@ -403,7 +430,7 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap)
             if join_type in ("semi", "anti"):
                 # per-probe any-match from the contiguous candidate runs
                 # (probe_idx is non-decreasing) — prefix sums, no scatter
-                matched = _any_match_per_probe(counts, ok, out_cap)
+                matched = ok if fk else _any_match_per_probe(counts, ok, out_cap)
                 l_alive = jnp.arange(lcap) < nl
                 keep = (matched if join_type == "semi" else ~matched) & l_alive
                 return trim(*K.filter_compact(ld, lv, keep, nl))
@@ -422,7 +449,7 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap)
             nld = len(ld)
             alive_segs = [pair_live]
             if join_type in ("left", "full"):
-                match_probe = _any_match_per_probe(counts, ok, out_cap)
+                match_probe = ok if fk else _any_match_per_probe(counts, ok, out_cap)
                 l_alive = jnp.arange(lcap) < nl
                 lw = l_alive & ~match_probe
                 for i, d in enumerate(ld):

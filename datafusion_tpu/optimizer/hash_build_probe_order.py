@@ -45,6 +45,27 @@ def estimate_rows(plan: L.LogicalPlan) -> int | None:
     if isinstance(plan, L.Distinct):
         n = estimate_rows(plan.input)
         return max(n // 10, 1) if n is not None else None
+    if isinstance(plan, L.Join):
+        # equi-joins are overwhelmingly FK-shaped: output ~ the larger
+        # (fact) side.  Without this case, multi-join chains never swap
+        # and the big fact table lands on the BUILD side — backwards for
+        # both the build sort and the fan-out<=1 specialization.
+        ln = estimate_rows(plan.left)
+        rn = estimate_rows(plan.right)
+        if ln is None or rn is None:
+            return None
+        if plan.join_type in ("semi", "anti"):
+            return max(ln // 2, 1)
+        return max(ln, rn)
+    if isinstance(plan, L.CrossJoin):
+        ln = estimate_rows(plan.left)
+        rn = estimate_rows(plan.right)
+        return ln * rn if ln is not None and rn is not None else None
+    if isinstance(plan, L.Union):
+        ns = [estimate_rows(i) for i in plan.inputs_]
+        return sum(ns) if all(n is not None for n in ns) else None
+    if isinstance(plan, L.Skip):
+        return estimate_rows(plan.input)
     return None
 
 
