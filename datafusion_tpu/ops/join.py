@@ -42,6 +42,13 @@ from .base import ExecutionPlan
 
 JOIN_TYPES = ("inner", "left", "right", "full", "semi", "anti")
 
+# FK-specialized phase B checks up to this many candidates per probe
+# in-place (no run expansion).  2 tolerates the ~n^2/2^32 hash-fold
+# collisions that make a true PK build side show fan-out 2 at SF>=1;
+# genuine fan-out beyond it (or >1 VERIFIED match on a non-semi/anti
+# join) trips the overflow flag and relearns fk=False.
+FK_MAX_RUN = 2
+
 # below this capacity, padding costs less than the D2H count sync that a
 # shrink needs (~28 ms through a remote-TPU tunnel)
 SHRINK_SYNC_MIN_CAP = 1 << 17
@@ -294,12 +301,14 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
 
             def phase_ab(ld, lv, nl, rd, rv, nr):
                 lo, counts, build_order, stats = trace_a(ld, lv, nl, rd, rv, nr)
-                out_d, out_v, cnt = tb(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
-                flag = (stats[0] > expand_cap).astype(jnp.int32)
+                out_d, out_v, cnt, bflag = tb(
+                    ld, lv, nl, rd, rv, nr, lo, counts, build_order
+                )
+                flag = bflag | (stats[0] > expand_cap).astype(jnp.int32)
                 if fk:
-                    # the FK-specialized expansion assumes fan-out <= 1;
-                    # a build-side duplicate key invalidates it
-                    flag = flag | (stats[1] > 1).astype(jnp.int32)
+                    # the FK-specialized expansion checks only FK_MAX_RUN
+                    # candidates per probe; longer runs invalidate it
+                    flag = flag | (stats[1] > FK_MAX_RUN).astype(jnp.int32)
                 if final_cap is not None:
                     flag = flag | (cnt > final_cap).astype(jnp.int32)
                 return out_d, out_v, cnt, flag
@@ -337,13 +346,17 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
             )
         )
         _cache_put(("B", expand_cap) + base_key, entry_b)
-    out_d, out_v, cnt_dev = entry_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
+    out_d, out_v, cnt_dev, _bflag = entry_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
     # learn the verified output size too (second host sync, cold runs
     # only): warm runs then emit right-sized outputs with zero syncs
     cnt = int(cnt_dev)
     _cache_put(
         ("CAP",) + base_key,
-        (expand_cap, round_capacity(max(cnt, 1)), fan <= 1),
+        (
+            expand_cap,
+            round_capacity(max(cnt, 1)),
+            fan <= FK_MAX_RUN and filter is None,
+        ),
     )
     out = _join_out_table(lt, rt, join_type, out_d, out_v, cnt)
     tgt = round_capacity(max(cnt, 1))
@@ -380,12 +393,12 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap,
     if fk:
         out_cap = lcap
 
-    def trim(out_d, out_v, cnt):
+    def trim(bflag, out_d, out_v, cnt):
         if final_cap is not None and final_cap < out_d[0].shape[0]:
             out_d = tuple(d[:final_cap] for d in out_d)
             out_v = tuple(v[:final_cap] for v in out_v)
             cnt = jnp.minimum(cnt, final_cap)
-        return tuple(out_d), tuple(out_v), cnt
+        return tuple(out_d), tuple(out_v), cnt, bflag
 
     def phase_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order):
             ltv = _view(lt, ld, lv)
@@ -395,18 +408,36 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap,
             rord = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in rkeys)
             lval = tuple(c.valid for c in lkeys)
             rval = tuple(c.valid for c in rkeys)
+            bflag = jnp.int32(0)
             if fk:
-                probe_idx = jnp.arange(lcap, dtype=jnp.int64)
-                bpos = jnp.clip(lo, 0, build_order.shape[0] - 1).astype(jnp.int32)
-                build_idx = K.gather64(build_order, bpos)
-                pair_alive = counts > 0
+                # fan-out <= FK_MAX_RUN (flag-checked): scan each probe's
+                # short candidate run in place and keep the first VERIFIED
+                # match — no run expansion, no merge sorts.  >1 verified
+                # match per probe (genuine duplicate build keys) is exact
+                # for semi/anti (any-match) and flags everything else.
+                probe_idx = jnp.arange(lcap, dtype=jnp.int32)
+                build_idx = jnp.zeros(lcap, jnp.int32)
+                nm = jnp.zeros(lcap, jnp.int32)
+                for j in range(FK_MAX_RUN):
+                    bpos = jnp.clip(
+                        lo + j, 0, build_order.shape[0] - 1
+                    ).astype(jnp.int32)
+                    bidx = build_order[bpos]
+                    okj = K.verify_equal(
+                        lord, lval, rord, rval, probe_idx, bidx, counts > j
+                    )
+                    build_idx = jnp.where(okj & (nm == 0), bidx, build_idx)
+                    nm = nm + okj.astype(jnp.int32)
+                ok = nm > 0
+                if join_type not in ("semi", "anti"):
+                    bflag = (jnp.max(nm) > 1).astype(jnp.int32)
             else:
                 probe_idx, build_idx, pair_alive, _tot = K.join_expand(
                     lo, counts, build_order, out_cap
                 )
-            ok = K.verify_equal(
-                lord, lval, rord, rval, probe_idx, build_idx, pair_alive
-            )
+                ok = K.verify_equal(
+                    lord, lval, rord, rval, probe_idx, build_idx, pair_alive
+                )
             if filter is not None:
                 pair_table = _gather_pair_table(ltv, rtv, probe_idx, build_idx, out_cap)
                 fres = filter.evaluate(pair_table)
@@ -425,7 +456,7 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap,
                 pr_d, pr_v, _ = K.take_rows(rd, rv, bc)
                 out_d = list(pl_d) + list(pr_d)
                 out_v = [v & live for v in pl_v] + [v & live for v in pr_v]
-                return trim(tuple(out_d), tuple(out_v), cnt)
+                return trim(bflag, tuple(out_d), tuple(out_v), cnt)
 
             if join_type in ("semi", "anti"):
                 # per-probe any-match from the contiguous candidate runs
@@ -433,7 +464,7 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap,
                 matched = ok if fk else _any_match_per_probe(counts, ok, out_cap)
                 l_alive = jnp.arange(lcap) < nl
                 keep = (matched if join_type == "semi" else ~matched) & l_alive
-                return trim(*K.filter_compact(ld, lv, keep, nl))
+                return trim(bflag, *K.filter_compact(ld, lv, keep, nl))
 
             # left / right / full outer: matched pairs, then the unmatched
             # side(s) padded with nulls, squeezed by ONE compaction co-sort
@@ -477,7 +508,7 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap,
             alive_all = jnp.concatenate(alive_segs)
             datas_all = tuple(jnp.concatenate(s) for s in col_d)
             valids_all = tuple(jnp.concatenate(s) for s in col_v)
-            return trim(*K.filter_compact(
+            return trim(bflag, *K.filter_compact(
                 datas_all, valids_all, alive_all, jnp.int64(alive_all.shape[0])
             ))
 

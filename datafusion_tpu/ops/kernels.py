@@ -793,41 +793,53 @@ def join_probe_counts(
 
     `jnp.searchsorted` lowers catastrophically on TPU (4.7 s for 8M-in-8M
     vs 0.23 s for a merge-rank co-sort), so ranks come from ONE merge:
-    co-sort [probe ++ build] by (hash, side) with probe-before-build tie
+    co-sort [probe ++ build] by (hash31, side) with probe-before-build tie
     order; a probe element's merged position minus the probes before it is
     then #build < hash — exactly searchsorted-left.  hi comes from run
-    lengths of the (already sorted) build hashes, not a second search."""
+    lengths of the (already sorted) build hashes, not a second search.
+
+    Sort-width economy: the side tag FOLDS into the key's low bit —
+    key = (hash >> 1) << 1 | tag — so each merge sorts ONE u32 key instead
+    of (u32, i32).  Dropping the hash's low bit only merges adjacent hash
+    runs (more candidates for exact verification to discard, same
+    contract as the 32-bit fold itself); runs/hit therefore use the
+    31-bit hash consistently."""
     nb = sorted_hash.shape[0]
     npr = probe_hash.shape[0]
 
-    allv = jnp.concatenate([probe_hash, sorted_hash])
-    tag = jnp.concatenate(
-        [jnp.zeros(npr, jnp.int32), jnp.ones(nb, jnp.int32)]
+    h31p = probe_hash >> jnp.uint32(1)
+    h31b = sorted_hash >> jnp.uint32(1)
+    key = jnp.concatenate(
+        [h31p << jnp.uint32(1), (h31b << jnp.uint32(1)) | jnp.uint32(1)]
     )
     orig = jnp.concatenate(
         [jnp.arange(npr, dtype=jnp.int32), jnp.full(nb, npr, jnp.int32)]
     )
-    (val_s, tag_s), (orig_s,) = cosort((allv, tag), (orig,))
-    is_probe = tag_s == 0
+    (key_s,), (orig_s,) = cosort((key,), (orig,))
+    is_probe = (key_s & jnp.uint32(1)) == 0
     n_probe_upto = jnp.cumsum(is_probe.astype(jnp.int32))
     lo_all = jnp.arange(1, nb + npr + 1, dtype=jnp.int32) - n_probe_upto
-    # back to probe order: probes (tag 0) first, by original index
-    _, (lo_s,) = cosort((tag_s, orig_s), (lo_all,))
-    lo = lo_s[:npr].astype(jnp.int64)
+    # back to probe order: probes first by original index (orig << 1 | tag
+    # keeps one u32 key; builds all share orig=npr and need no order)
+    key2 = (orig_s.astype(jnp.uint32) << jnp.uint32(1)) | jnp.where(
+        is_probe, jnp.uint32(0), jnp.uint32(1)
+    )
+    _, (lo_s,) = cosort((key2,), (lo_all,))
+    lo = lo_s[:npr]
 
     # run lengths on the sorted build side: rl[j] = len of the equal-hash
     # run containing j; counts = rl at lo when the run actually matches
     j = jnp.arange(nb, dtype=jnp.int32)
-    boundary = (sorted_hash != jnp.roll(sorted_hash, 1)).at[0].set(True)
+    boundary = (h31b != jnp.roll(h31b, 1)).at[0].set(True)
     start = jax.lax.cummax(jnp.where(boundary, j, -1))
     nxt_incl = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(boundary, j, nb))))
     nxt_excl = jnp.concatenate([nxt_incl[1:], jnp.array([nb], nxt_incl.dtype)])
-    rl = (nxt_excl - start).astype(jnp.int64)
+    rl = (nxt_excl - start).astype(jnp.int32)
 
-    lo_c = jnp.clip(lo, 0, nb - 1).astype(jnp.int32)
-    hit = gather64(sorted_hash, lo_c) == probe_hash
+    lo_c = jnp.clip(lo, 0, nb - 1)
+    hit = h31b[lo_c] == h31p
     hi = jnp.where(hit, lo + rl[lo_c], lo)
-    hi = jnp.minimum(hi, nrows_build)
+    hi = jnp.minimum(hi, nrows_build.astype(jnp.int32))
     lo = jnp.minimum(lo, hi)
     counts = jnp.where(probe_alive_valid, hi - lo, 0)
     lo = jnp.where(probe_alive_valid, lo, 0)
@@ -846,29 +858,33 @@ def join_expand(
     Vectorized run expansion via cumsum + merge-rank (no loops, and no
     `searchsorted` — see join_probe_counts note):
       starts = exclusive cumsum(counts);  probe(r) = # cum <= r.
-    Slots >= total are dead (alive=False)."""
+    Slots >= total are dead (alive=False).  The side tag folds into the
+    merge key's low bit (one u32 key; counts/cum are int32 — candidate
+    totals beyond 2^31 exceed HBM anyway and the caller guards)."""
+    counts = counts.astype(jnp.int32)
     cum = jnp.cumsum(counts)
     total = cum[-1]
     starts = cum - counts
-    r = jnp.arange(out_cap)
+    r = jnp.arange(out_cap, dtype=jnp.int32)
     # probe_idx[r] = #(cum <= r)  == searchsorted(cum, r, side='right'),
-    # computed by merging the sorted `cum` with the dense slot ids
+    # computed by merging the sorted `cum` with the dense slot ids;
+    # cum-before-slot tie order = tag bit 0 for cum rows
     npr = cum.shape[0]
-    allv = jnp.concatenate([cum, r])
-    tag = jnp.concatenate(
-        [jnp.zeros(npr, jnp.int32), jnp.ones(out_cap, jnp.int32)]
+    cum_c = jnp.minimum(cum, out_cap).astype(jnp.uint32)  # order past out_cap irrelevant
+    key = jnp.concatenate(
+        [cum_c << jnp.uint32(1), (r.astype(jnp.uint32) << jnp.uint32(1)) | jnp.uint32(1)]
     )
-    (_, tag_s), _ = cosort((allv, tag), ())
-    n_cum_upto = jnp.cumsum((tag_s == 0).astype(jnp.int32))
+    (key_s,), _ = cosort((key,), ())
+    tag_s = (key_s & jnp.uint32(1)).astype(jnp.int32)
+    n_cum_upto = jnp.cumsum(1 - tag_s)
     # bring slot rows back to dense order: cum rows (tag 0) first, slots
     # after in value order (already dense) — stable sort by tag alone
     _, (pi_s,) = cosort((tag_s,), (n_cum_upto,))
     probe_idx = jnp.minimum(pi_s[npr:], lo.shape[0] - 1)  # int32
-    offset_in_run = r - gather64(starts, probe_idx)
-    build_pos = gather64(lo, probe_idx) + offset_in_run
+    offset_in_run = r - starts[probe_idx]
+    build_pos = lo[probe_idx] + offset_in_run
     build_pos = jnp.clip(build_pos, 0, build_order.shape[0] - 1).astype(jnp.int32)
-    build_idx = gather64(build_order, build_pos)
-    probe_idx = probe_idx.astype(jnp.int64)
+    build_idx = build_order[build_pos]
     alive = r < total
     return probe_idx, build_idx, alive, total
 

@@ -69,22 +69,36 @@ def test_lexsort_apply_multi_key_with_nulls(rng):
     assert np.array_equal(np.asarray(perm)[:n], order)
 
 
-def test_join_probe_counts_vs_searchsorted(rng):
+def test_join_probe_counts_covers_equal_runs(rng):
+    # contract (round 4): candidate ranges are 31-BIT hash runs — the side
+    # tag folds into the sort key's low bit, so ranges may be SUPERSETS of
+    # the exact-equal run (merging hashes that differ only in bit 0);
+    # exact key verification prunes them.  Check coverage + tightness.
     nb, npr = 2048, 1024
-    build = np.sort(rng.integers(0, 300, nb)).astype(np.uint64)
-    probe = rng.integers(0, 400, npr).astype(np.uint64)
+    build = np.sort(rng.integers(0, 300, nb)).astype(np.uint32)
+    probe = rng.integers(0, 400, npr).astype(np.uint32)
     alive = rng.random(npr) > 0.1
     nrows_build = 1800
     lo, cnts = K.join_probe_counts(
         jnp.asarray(build), jnp.asarray(probe), jnp.asarray(alive), np.int64(nrows_build)
     )
-    elo = np.searchsorted(build, probe, side="left")
-    ehi = np.minimum(np.searchsorted(build, probe, side="right"), nrows_build)
+    lo = np.asarray(lo)
+    cnts = np.asarray(cnts)
+    b31 = build >> 1
+    p31 = probe >> 1
+    # exact 31-bit run bounds, clamped to live build rows
+    elo = np.searchsorted(b31, p31, side="left")
+    ehi = np.minimum(np.searchsorted(b31, p31, side="right"), nrows_build)
     elo = np.minimum(elo, ehi)
     ecnt = np.where(alive, ehi - elo, 0)
     elo = np.where(alive, elo, 0)
-    assert np.array_equal(np.asarray(cnts), ecnt)
-    assert np.array_equal(np.asarray(lo), elo)
+    assert np.array_equal(cnts, ecnt)
+    assert np.array_equal(lo, elo)
+    # coverage: every true-equal live pair lies inside its candidate range
+    for i in np.where(alive)[0][:64]:
+        eq = np.where(build[:nrows_build] == probe[i])[0]
+        if eq.size:
+            assert lo[i] <= eq.min() and eq.max() < lo[i] + cnts[i]
 
 
 def test_join_expand_dense_rank(rng):
