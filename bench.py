@@ -98,12 +98,17 @@ def main():
     import jax
 
     from datafusion_tpu import ExecutionContext
-    from bench.q1data import generate_lineitem_q1
-    from bench.tpch import get_query_sql
+    from bench.tpch import get_query_sql, load_engine_tables
+    from bench.tpch_datagen import generate_tpch
 
+    # THE headline definition (one per engine, BASELINE.md): warm median
+    # of TPC-H Q1 at SF1 over the FULL 16-column lineitem from the
+    # standard datagen — identical data to bench/RESULTS_SF1.json's q1 row
+    # and bench/tpu_session.sh.  (Rounds 1-3 used a trimmed 7-column
+    # lineitem here, which made three different "Q1" numbers coexist.)
     ctx = ExecutionContext()
-    t = generate_lineitem_q1(sf)
-    ctx.register_table("lineitem", t)
+    data = generate_tpch(sf)
+    load_engine_tables(ctx, {"lineitem": data["lineitem"]})
     sql = get_query_sql(1)
 
     import numpy as np

@@ -149,13 +149,34 @@ def main():
         "modes": {},
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    # Semantics depend on the backend (recorded explicitly so the artifact
+    # is readable without prose): on the shared-core CPU simulation every
+    # virtual device runs on the same core, so wall-clock measures TOTAL
+    # work across shards — the honest signal is total work staying FLAT as
+    # devices are added (per-shard work ~1/ndev).  On real chips each
+    # device brings its own compute, so wall-clock IS per-shard time and
+    # speedup_vs_1 is a true scaling efficiency numerator.
+    shared_core = out["backend"] == "cpu"
+    out["wallclock_semantics"] = (
+        "total_work_across_shards" if shared_core else "per_shard_time"
+    )
     for mode, bcast in (("partitioned", False), ("broadcast", True)):
         per = out["modes"].setdefault(mode, {})
         for nd in devs:
             r = run_at(nd, fact, dim, args.iters, bcast)
             base = per.get("1", r)
-            r["speedup_vs_1"] = round(base["elapsed_ms"] / r["elapsed_ms"], 3)
-            r["efficiency"] = round(r["speedup_vs_1"] / nd, 3)
+            if shared_core:
+                # flat total work (ratio ~1.0) == per-shard work ~1/ndev;
+                # the exchange's own cost shows up as the drop from 1.0
+                r["total_work_vs_1dev"] = round(
+                    r["elapsed_ms"] / base["elapsed_ms"], 3
+                )
+                r["per_shard_work_ms_est"] = round(r["elapsed_ms"] / nd, 2)
+            else:
+                r["speedup_vs_1"] = round(
+                    base["elapsed_ms"] / r["elapsed_ms"], 3
+                )
+                r["scaling_efficiency"] = round(r["speedup_vs_1"] / nd, 3)
             per[str(nd)] = r
             print(f"{mode} {nd} device(s): {r}", flush=True)
             with open(path, "w") as f:
