@@ -156,9 +156,16 @@ class WindowAggExec(ExecutionPlan):
 
         names = list(t.names)
         cols = list(t.columns)
-        for w in self.window_exprs:
+
+        def _loop():  # seg_batch: one packed gather for all boundary reads
+            return [
+                self._eval_window(w, t, gid, pos_in_seg, seg_start, alive, cap)
+                for w in self.window_exprs
+            ]
+
+        for w, c in zip(self.window_exprs, K.seg_batch(_loop)):
             names.append(w.name)
-            cols.append(self._eval_window(w, t, gid, pos_in_seg, seg_start, alive, cap))
+            cols.append(c)
         return names, cols
 
     # ------------------------------------------------------------------
