@@ -114,8 +114,22 @@ def compare_results(
     ordered: bool,
     rtol: float = 1e-9,
     atol: float = 1e-6,
+    order_spec: list[tuple] | None = None,
 ) -> str | None:
-    """None if equal; otherwise a description of the first mismatch."""
+    """None if equal; otherwise a description of the first mismatch.
+
+    ``order_spec`` = [(col_idx, desc), ...] for ORDER BY queries whose
+    sort keys can TIE (q3/q5's revenue at SF>=10): row order among tied
+    rows is engine-defined, so equality is (a) multiset equality plus
+    (b) the engine's rows being correctly ordered on the spec columns —
+    exactly the SQL contract, instead of the positional compare that
+    `ordered=True` does (tpch.rs verify_query compares positionally but
+    against answers produced with the same tie order)."""
+    if order_spec is not None and ordered:
+        err = _check_row_order(engine_rows, order_spec)
+        if err:
+            return err
+        ordered = False
 
     def norm_row(row):
         out = []
@@ -156,6 +170,33 @@ def compare_results(
             else:
                 if str(x) != str(y):
                     return f"row {i} col {j}: {x!r} vs {y!r}"
+    return None
+
+
+def _check_row_order(rows: list[tuple], spec: list[tuple]) -> str | None:
+    """Engine rows must be non-decreasing on the (col, desc) spec."""
+
+    def key(r):
+        out = []
+        for idx, desc in spec:
+            v = r[idx]
+            if isinstance(v, _dt.date):
+                v = str(v)
+            if isinstance(v, float):
+                v = -v if desc else v
+            elif isinstance(v, int):
+                v = -v if desc else v
+            elif desc:  # strings: invert per-char for descending
+                v = tuple(-ord(c) for c in str(v))
+            out.append((v is None, v))
+        return tuple(out)
+
+    prev = None
+    for i, r in enumerate(rows):
+        k = key(r)
+        if prev is not None and k < prev:
+            return f"row {i}: ORDER BY violation on spec {spec}"
+        prev = k
     return None
 
 

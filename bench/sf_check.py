@@ -52,7 +52,7 @@ def main():
     from datafusion_tpu import ExecutionContext
 
     from .golden import compare_results, table_to_rows
-    from .tpch import FULLY_ORDERED, load_engine_tables, run_query
+    from .tpch import FULLY_ORDERED, ORDER_SPECS, load_engine_tables, run_query
     from .tpch_datagen import generate_tpch
 
     print(f"datagen sf={args.sf} ...", flush=True)
@@ -107,7 +107,8 @@ def main():
             golden = pandas_query(data, q)
             rec["golden_ms"] = round((time.perf_counter() - t0) * 1000, 1)
             err = compare_results(
-                table_to_rows(t), golden, ordered=(q in FULLY_ORDERED)
+                table_to_rows(t), golden, ordered=(q in FULLY_ORDERED),
+                order_spec=ORDER_SPECS.get(q),
             )
             rec["match"] = err is None
             if err:

@@ -34,6 +34,20 @@ def get_query_sql(q: int) -> str:
 # queries whose ORDER BY fully determines row order (compare ordered);
 # everything else compares as sorted multisets
 FULLY_ORDERED = {1, 3, 5, 6, 12, 14, 17, 19}
+# (output col, desc) ORDER BY specs for the ordered queries: q3/q5 sort by
+# a float revenue that TIES at SF>=10, so row order among tied rows is
+# engine-defined — golden comparison = multiset equality + the engine's
+# own ordering contract (bench/golden.py compare_results order_spec)
+ORDER_SPECS = {
+    1: [(0, False), (1, False)],
+    3: [(1, True), (2, False)],
+    5: [(1, True)],
+    6: [],
+    12: [(0, False)],
+    14: [],
+    17: [],
+    19: [],
+}
 
 
 def _host_table(cols: dict, dtypes: dict):
@@ -167,7 +181,8 @@ def check(sf: float, queries: list[int], verbose: bool = True, mesh=None,
             engine_rows = table_to_rows(t)
             golden_rows = golden_query(conn, q)
             err = compare_results(
-                engine_rows, golden_rows, ordered=(q in FULLY_ORDERED)
+                engine_rows, golden_rows, ordered=(q in FULLY_ORDERED),
+                order_spec=ORDER_SPECS.get(q),
             )
             results[q] = err
             if verbose:

@@ -8,7 +8,7 @@ import pytest
 
 from bench.golden import compare_results, table_to_rows
 from bench.golden_pandas import pandas_query
-from bench.tpch import FULLY_ORDERED, load_engine_tables, run_query
+from bench.tpch import FULLY_ORDERED, ORDER_SPECS, load_engine_tables, run_query
 
 QUERIES = list(range(1, 23))
 
@@ -29,5 +29,5 @@ def test_engine_matches_pandas(q, setup):
     ctx, data = setup
     engine_rows = table_to_rows(run_query(ctx, q))
     golden = pandas_query(data, q)
-    err = compare_results(engine_rows, golden, ordered=(q in FULLY_ORDERED))
+    err = compare_results(engine_rows, golden, ordered=(q in FULLY_ORDERED), order_spec=ORDER_SPECS.get(q))
     assert err is None, f"q{q}: {err}"
