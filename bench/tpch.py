@@ -208,9 +208,12 @@ def bench(
     load_engine_tables(ctx, data, host_tables=host_tables)
     timings = {}
     on_query_done = getattr(bench, "on_query_done", None)
+    import gc
+
     for q in queries:
         times = []
         for i in range(iterations):
+            gc.collect()  # drop prior intermediates' device buffers (HBM)
             t0 = time.perf_counter()
             t = run_query(ctx, q)
             # one tiny D2H on the last column: in-order device streams make

@@ -517,7 +517,11 @@ def _segment_positions(gid):
         return hit[1]
     res = _segment_positions_impl(gid)
     _SEG_POS_MEMO[id(gid)] = (gid, res)
-    while len(_SEG_POS_MEMO) > 16:
+    # entries keyed by CONCRETE arrays pin device buffers (gid + two
+    # position planes ~135 MB at 8.4M rows) — a deep cache OOMs the chip
+    # across queries; within one aggregate the repeated calls are
+    # consecutive, so two entries suffice
+    while len(_SEG_POS_MEMO) > 2:
         _SEG_POS_MEMO.popitem(last=False)
     return res
 
