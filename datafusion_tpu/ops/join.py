@@ -148,9 +148,20 @@ def _cache_put(key, entry):
 
 
 def _table_sig(t: Table):
+    # the vrange-narrowing bit is a trace-time decision baked into cached
+    # programs (K.orderable_key): same-shaped tables that differ in range
+    # must not share a narrowed program (ADVICE r4 #2)
     return (
         tuple(t.names),
-        tuple((str(c.dtype), c.capacity, id(c.dictionary)) for c in t.columns),
+        tuple(
+            (
+                str(c.dtype),
+                c.capacity,
+                id(c.dictionary),
+                K.vrange_narrows_i32(c.vrange),
+            )
+            for c in t.columns
+        ),
     )
 
 
@@ -256,7 +267,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
         for c in lkeys:
             probe_ok = probe_ok & c.valid
         lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
-        stats = jnp.stack([jnp.sum(counts), jnp.max(counts)])
+        stats = K.candidate_stats(counts)
         return lo, counts, build_order, stats
 
     ld = tuple(c.data for c in lt.columns)
@@ -309,8 +320,9 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
                     # the FK-specialized expansion checks only FK_MAX_RUN
                     # candidates per probe; longer runs invalidate it
                     flag = flag | (stats[1] > FK_MAX_RUN).astype(jnp.int32)
-                if final_cap is not None:
-                    flag = flag | (cnt > final_cap).astype(jnp.int32)
+                # NOTE: final_cap overflow is flagged inside trim() (phase
+                # B) from the PRE-clamp verified count — checking the
+                # returned cnt here would never fire (ADVICE r4 #1)
                 return out_d, out_v, cnt, flag
 
             entry_ab = jax.jit(phase_ab)
@@ -394,9 +406,15 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap,
         out_cap = lcap
 
     def trim(bflag, out_d, out_v, cnt):
-        if final_cap is not None and final_cap < out_d[0].shape[0]:
-            out_d = tuple(d[:final_cap] for d in out_d)
-            out_v = tuple(v[:final_cap] for v in out_v)
+        if final_cap is not None:
+            # overflow must be computed from the PRE-clamp verified count:
+            # the clamped cnt below can never exceed final_cap, so a
+            # post-trim check would silently drop rows instead of firing
+            # the speculation-window rerun (ADVICE r4 #1)
+            bflag = bflag | (cnt > final_cap).astype(jnp.int32)
+            if final_cap < out_d[0].shape[0]:
+                out_d = tuple(d[:final_cap] for d in out_d)
+                out_v = tuple(v[:final_cap] for v in out_v)
             cnt = jnp.minimum(cnt, final_cap)
         return tuple(out_d), tuple(out_v), cnt, bflag
 

@@ -43,6 +43,20 @@ from ..types.dtypes import DataType
 # ---------------------------------------------------------------------------
 
 
+def vrange_narrows_i32(vrange) -> bool:
+    """True when an ingest-recorded value range proves a 64-bit column's
+    live values fit int32, unlocking the narrowed sort/verify keys below.
+    This is a TRACE-TIME decision baked into compiled programs, so every
+    cache key over tables (join._table_sig, CompiledStage's dynamic sig)
+    must include it — two same-shaped tables that differ only in range
+    must not share a narrowed program (ADVICE r4 #2)."""
+    return (
+        vrange is not None
+        and -(1 << 31) <= vrange[0]
+        and vrange[1] < (1 << 31)
+    )
+
+
 def orderable_key(data: jnp.ndarray, dtype: DataType, vrange=None) -> jnp.ndarray:
     """Map a column's storage buffer to keys whose ascending order equals the
     column's SQL ordering (strings are order-isomorphic codes since
@@ -64,11 +78,7 @@ def orderable_key(data: jnp.ndarray, dtype: DataType, vrange=None) -> jnp.ndarra
         return data.astype(jnp.int32)
     if st.itemsize < 4 and jnp.issubdtype(st, jnp.unsignedinteger):
         return data.astype(jnp.int32)
-    if (
-        vrange is not None
-        and -(1 << 31) <= vrange[0]
-        and vrange[1] < (1 << 31)
-    ):
+    if vrange_narrows_i32(vrange):
         return data.astype(jnp.int32)
     return data.astype(jnp.int64)
 
@@ -496,8 +506,17 @@ def group_ids_sorted(
 # each — the dominant cost of the 6M->1.5M-group stage in
 # bench/PROFILE_SF1.md).  Keyed by object identity (works for concrete
 # arrays and for tracers within one jit trace); the strong reference to
-# gid in the value prevents id() reuse.
-_SEG_POS_MEMO: "OrderedDict" = None  # initialized below
+# gid in the value prevents id() reuse.  threading.local like _SEG_BATCH:
+# the distributed executor runs concurrent queries, and a shared memo
+# would race on eviction (ADVICE r4 #4).
+class _SegPosMemo(threading.local):
+    def __init__(self):
+        from collections import OrderedDict as _OD
+
+        self.memo = _OD()
+
+
+_SEG_POS_MEMO = _SegPosMemo()
 
 
 def _segment_positions(gid):
@@ -506,23 +525,19 @@ def _segment_positions(gid):
     Only entries [0, #segments) are meaningful; callers mask by ngroups.
     Memoized per gid object: all reductions of one grouping share ONE
     boundary-position sort."""
-    global _SEG_POS_MEMO
-    if _SEG_POS_MEMO is None:
-        from collections import OrderedDict as _OD
-
-        _SEG_POS_MEMO = _OD()
-    hit = _SEG_POS_MEMO.get(id(gid))
+    memo = _SEG_POS_MEMO.memo
+    hit = memo.get(id(gid))
     if hit is not None and hit[0] is gid:
-        _SEG_POS_MEMO.move_to_end(id(gid))
+        memo.move_to_end(id(gid))
         return hit[1]
     res = _segment_positions_impl(gid)
-    _SEG_POS_MEMO[id(gid)] = (gid, res)
+    memo[id(gid)] = (gid, res)
     # entries keyed by CONCRETE arrays pin device buffers (gid + two
     # position planes ~135 MB at 8.4M rows) — a deep cache OOMs the chip
     # across queries; within one aggregate the repeated calls are
     # consecutive, so two entries suffice
-    while len(_SEG_POS_MEMO) > 2:
-        _SEG_POS_MEMO.popitem(last=False)
+    while len(memo) > 2:
+        memo.popitem(last=False)
     return res
 
 
@@ -848,6 +863,19 @@ def join_probe_counts(
     counts = jnp.where(probe_alive_valid, hi - lo, 0)
     lo = jnp.where(probe_alive_valid, lo, 0)
     return lo, counts
+
+
+def candidate_stats(counts: jnp.ndarray) -> jnp.ndarray:
+    """[total, max] of per-probe candidate counts, int64-accumulated.
+
+    counts is int32 (join_probe_counts); a skewed many-to-many join can
+    exceed 2^31 candidate pairs at modest input sizes (~50k x 50k
+    duplicate keys), and an int32 sum would wrap negative — silently
+    clearing the `total > expand_cap` overflow flag that guards the warm
+    path (ADVICE r4 #3)."""
+    return jnp.stack(
+        [jnp.sum(counts, dtype=jnp.int64), jnp.max(counts).astype(jnp.int64)]
+    )
 
 
 @partial(jax.jit, static_argnames=("out_cap",))

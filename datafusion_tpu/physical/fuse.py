@@ -31,11 +31,29 @@ class StageExec(ExecutionPlan):
         # its ~28 ms count sync — the collect slices by the (lazy) count
         self.root = root
         self.stage = CompiledStage(inner)
-        src = self.stage.source.execute()
+        # THIS plan's source scan: a cache hit swaps in a CompiledStage
+        # built for an earlier (same-signature) plan, so execution must
+        # feed the CURRENT table's buffers as arguments — executing the
+        # cached stage's own source would replay the FIRST query's data
+        # (stale results after re-registering a same-shaped table)
+        self._source = self.stage.source
+        src = self._source.execute()
+        from ..ops import kernels as K
+
         sig = (
             inner.display(),
             tuple(
-                (str(c.dtype), c.capacity, id(c.dictionary)) for c in src.columns
+                # the vrange-narrowing bit is baked into the cached stage's
+                # traced sort/group keys (K.orderable_key): same-shaped
+                # tables differing in range must not share a narrowed
+                # program (ADVICE r4 #2)
+                (
+                    str(c.dtype),
+                    c.capacity,
+                    id(c.dictionary),
+                    K.vrange_narrows_i32(c.vrange),
+                )
+                for c in src.columns
             ),
         )
         cached = _STAGE_CACHE.get(sig)
@@ -54,7 +72,9 @@ class StageExec(ExecutionPlan):
         return self
 
     def _execute(self) -> Table:
-        return self.stage.execute(shrink=not self.root)
+        return self.stage.execute(
+            shrink=not self.root, src=self._source.execute(), owned=True
+        )
 
     def _display_line(self):
         r = " root" if self.root else ""

@@ -138,9 +138,10 @@ class CompiledStage:
         self.chain = list(reversed(chain))
         self.out_schema = plan.schema()
         self._jit_variants: dict = {}
-        # learned output capacity (plan-owned source only): lets repeated
+        # learned output capacities (plan-owned sources only), keyed by
+        # input-table signature (() for scan-rooted stages): lets repeated
         # runs right-size without the count sync — see execute()
-        self._learned_cap: int | None = None
+        self._learned_caps: dict = {}
         self._dict_cache: dict = {}
         if not self.dynamic:
             # learn output dictionaries from a dry evaluation
@@ -207,8 +208,16 @@ class CompiledStage:
         return ranges or None
 
     # ------------------------------------------------------------------
-    def execute(self, shrink: bool = True, src: Table | None = None) -> Table:
-        owned_source = src is None
+    def execute(
+        self,
+        shrink: bool = True,
+        src: Table | None = None,
+        owned: bool | None = None,
+    ) -> Table:
+        # owned=True: src is this plan's own scan output passed explicitly
+        # (StageExec under a cache hit) — capacity learning applies;
+        # morsel-fed stages pass src without owned and keep per-call syncs
+        owned_source = owned if owned is not None else (src is None)
         if src is None:
             src = self.source.execute()
         datas = tuple(c.data for c in src.columns)
@@ -217,7 +226,12 @@ class CompiledStage:
         sig = (
             (src.capacity,
              tuple(str(c.dtype) for c in src.columns),
-             tuple(id(c.dictionary) for c in src.columns))
+             tuple(id(c.dictionary) for c in src.columns),
+             # the vrange-narrowing bit is baked into traced sort keys
+             # (K.orderable_key via _table_view's vrange passthrough):
+             # same-shaped inputs differing in range must not share a
+             # narrowed program (ADVICE r4 #2)
+             tuple(K.vrange_narrows_i32(c.vrange) for c in src.columns))
             if self.dynamic
             else ()
         )
@@ -249,8 +263,8 @@ class CompiledStage:
             # learned join capacities, ops/join.py) so data growth reruns
             # exactly instead of silently losing rows.  Morsel-fed stages
             # (src=) keep the per-call sync: morsel live counts vary.
-            if owned_source and K.spec_active() and self._learned_cap is not None:
-                learned = self._learned_cap
+            learned = self._learned_caps.get(sig) if owned_source else None
+            if learned is not None and K.spec_active():
                 if learned < t.capacity:
                     K.spec_record((t.nrows_dev > learned).astype(jnp.int32))
                     t = Table(
@@ -262,7 +276,7 @@ class CompiledStage:
                 return t
             tgt = round_capacity(t.nrows)
             if owned_source:
-                self._learned_cap = tgt
+                self._learned_caps[sig] = tgt
             if tgt < t.capacity:
                 t = t.with_capacity(tgt)
         return t
