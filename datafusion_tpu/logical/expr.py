@@ -770,6 +770,15 @@ class OuterColumn(Expr):
 # ---- subquery expressions (this engine supports + decorrelates them) -------
 
 
+def _subquery_repr(plan) -> str:
+    """Single-line rendering of a subquery plan.  MUST identify the
+    subquery completely: plan reprs feed the physical-plan cache key
+    (ExecutionContext._plan_cache), and a repr that hides the body makes
+    two queries differing only inside a subquery collide — the first
+    query's compiled plan then silently serves both."""
+    return plan.display().replace("\n", " | ")
+
+
 @dataclass(eq=False, repr=False)
 class ScalarSubquery(Expr):
     subquery: Any  # LogicalPlan
@@ -778,7 +787,7 @@ class ScalarSubquery(Expr):
         return self.subquery.schema().fields[0].dtype
 
     def __repr__(self):
-        return "(<scalar subquery>)"
+        return f"(<scalar subquery: {_subquery_repr(self.subquery)}>)"
 
 
 @dataclass(eq=False, repr=False)
@@ -798,7 +807,7 @@ class InSubquery(Expr):
 
     def __repr__(self):
         neg = "NOT " if self.negated else ""
-        return f"{self.expr!r} {neg}IN (<subquery>)"
+        return f"{self.expr!r} {neg}IN (<subquery: {_subquery_repr(self.subquery)}>)"
 
 
 @dataclass(eq=False, repr=False)
@@ -811,7 +820,7 @@ class Exists(Expr):
 
     def __repr__(self):
         neg = "NOT " if self.negated else ""
-        return f"{neg}EXISTS (<subquery>)"
+        return f"{neg}EXISTS (<subquery: {_subquery_repr(self.subquery)}>)"
 
 
 # ---------------------------------------------------------------------------

@@ -29,12 +29,14 @@ from typing import Optional
 
 from ..errors import PlanError
 from ..logical.expr import (
+    AggregateFunction,
     Alias,
     BinaryExpr,
     Column,
     Exists,
     Expr,
     InSubquery,
+    IsNotNull,
     Literal,
     Not,
     OuterColumn,
@@ -42,6 +44,7 @@ from ..logical.expr import (
     expr_contains,
     transform_expr,
 )
+from ..types import ScalarValue
 from ..logical.plan import (
     Aggregate,
     CrossJoin,
@@ -123,14 +126,52 @@ def _rewrite_conjunct(c: Expr, input_plan: LogicalPlan):
         return None, Join(input_plan, sub, keys, jt, residual)
 
     if isinstance(c, InSubquery):
-        sub = _decorrelate(c.subquery)
-        value_field = sub.schema().fields[0]
+        raw_sub = _decorrelate(c.subquery)
+        value_field = raw_sub.schema().fields[0]
         sub, keys, residual, alias = _extract_correlations(
-            sub, keep_cols=(Column(value_field.name, value_field.qualifier),)
+            raw_sub, keep_cols=(Column(value_field.name, value_field.qualifier),)
         )
         in_key = (c.expr, Column(value_field.name, alias))
         jt = "anti" if c.negated else "semi"
-        return None, Join(input_plan, sub, [in_key] + keys, jt, residual)
+        plan = Join(input_plan, sub, [in_key] + keys, jt, residual)
+        if c.negated and not keys and residual is None:
+            # NULL-aware NOT IN (uncorrelated): standard three-valued
+            # semantics that a plain anti join misses — ANY null in the
+            # subquery disqualifies every probe row, and a NULL probe
+            # value qualifies only against an EMPTY subquery.  Cross-join
+            # a one-row [count(*), count(value)] aggregate of the
+            # subquery and filter on top of the anti join:
+            #   count(*) = count(value)            (no nulls in sub)
+            #   AND (probe IS NOT NULL OR count(*) = 0)
+            # (IN/semi needs nothing: null keys never match, which is
+            # exactly the 3VL behavior for the positive form.)
+            n = next(_alias_counter)
+            total_name, nn_name = f"__naaj_total_{n}", f"__naaj_nn_{n}"
+            counts = Aggregate(
+                raw_sub,
+                [],
+                [
+                    Alias(AggregateFunction("count", []), total_name),
+                    Alias(
+                        AggregateFunction(
+                            "count",
+                            [Column(value_field.name, value_field.qualifier)],
+                        ),
+                        nn_name,
+                    ),
+                ],
+            )
+            plan = CrossJoin(plan, counts)
+            total_c, nn_c = Column(total_name, None), Column(nn_name, None)
+            guard = BinaryExpr(
+                BinaryExpr(total_c, "=", nn_c),
+                "and",
+                BinaryExpr(
+                    IsNotNull(c.expr), "or", BinaryExpr(total_c, "=", Literal(ScalarValue.of(0)))
+                ),
+            )
+            return guard, plan
+        return None, plan
 
     # scalar subquery inside a comparison / arbitrary expression
     subqueries: list[ScalarSubquery] = []
