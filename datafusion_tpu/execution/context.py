@@ -434,15 +434,25 @@ class ExecutionContext:
             if "now()" not in key[0] and len(self._plan_cache) < 256:
                 self._plan_cache[key] = phys
         from ..ops import kernels as K
+        from ..physical import query_compiler as QC
 
         with K.spec_window() as w:
-            out = phys.execute()
+            # warm plans compile into ONE whole-query XLA program (learned
+            # capacities make the full tree trace-pure); cold plans — and
+            # any plan with a node the tracer cannot purify — run node by
+            # node, learning capacities as they go
+            out = QC.try_whole_query(phys)
+            if out is None:
+                out = phys.execute()
         if w.overflowed():
             # a speculatively-sized join overflowed (fan-out beyond probe
             # capacity): re-execute with exact sizing.  The exact run
             # LEARNS each join's output capacity (ops/join.py "CAP" cache),
             # so repeated runs of this plan speculate at the learned size —
-            # zero join syncs in the steady state, any fan-out.
+            # zero join syncs in the steady state, any fan-out.  The
+            # whole-query program baked the OLD capacities: drop it so the
+            # next run re-traces with the relearned sizes.
+            QC.invalidate(phys)
             with K.spec_exact():
                 out = phys.execute()
         # final output uses unqualified display names (keep the row count

@@ -113,8 +113,13 @@ class ExecutionPlan:
             st.depth = depth
         # record the table, not out.nrows: reading nrows here would force a
         # device sync per operator (Table keeps lazy device-resident counts);
-        # collect_plan_metrics materializes on harvest
-        self._metrics_out = out
+        # collect_plan_metrics materializes on harvest.  Skipped during a
+        # whole-query trace — a tracer table must not leak into the
+        # harvest path (query_compiler.py).
+        from ..physical import query_compiler as _QC
+
+        if not _QC.active():
+            self._metrics_out = out
         if getattr(self, "_dedup_shared", False):
             self._dedup_memo = (st.epoch, out)
         return out

@@ -55,6 +55,13 @@ class MemoryExec(ExecutionPlan):
         return self
 
     def _execute(self) -> Table:
+        from ..physical import query_compiler as QC
+
+        bound = QC.bound_view(self)
+        if bound is not None:
+            # whole-query trace: this scan's output is a program argument
+            # (already projected — the binding captures execute()'s shape)
+            return bound
         t = self.table
         if self.projection is not None:
             names = [t.names[i] for i in self.projection]

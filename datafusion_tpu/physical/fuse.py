@@ -72,8 +72,20 @@ class StageExec(ExecutionPlan):
         return self
 
     def _execute(self) -> Table:
+        from . import query_compiler as QC
+
+        probe = None
+        if QC.active():
+            # whole-query trace: integer group-key ranges must be probed
+            # on the CONCRETE table (eager min/max on constants), not the
+            # tracer view; the plan cache pins the data so the learned
+            # ranges stay valid for the life of the program
+            probe = QC.concrete_of(self._source)
         return self.stage.execute(
-            shrink=not self.root, src=self._source.execute(), owned=True
+            shrink=not self.root,
+            src=self._source.execute(),
+            owned=True,
+            probe_src=probe,
         )
 
     def _display_line(self):
@@ -112,7 +124,11 @@ class TailStageExec(ExecutionPlan):
         from ..ops.join import SHRINK_SYNC_MIN_CAP
 
         t = t.shrink_to_fit(only_if_above=SHRINK_SYNC_MIN_CAP)
-        return self.stage.execute(shrink=not self.root, src=t)
+        # owned=True: this stage's input comes from the plan itself, so
+        # its output capacity is learnable per input signature — repeated
+        # runs (and the whole-query trace) right-size without the count
+        # sync, recording an overflow flag like the join learned caps
+        return self.stage.execute(shrink=not self.root, src=t, owned=True)
 
     def _display_line(self):
         r = " root" if self.root else ""

@@ -213,16 +213,23 @@ class CompiledStage:
         shrink: bool = True,
         src: Table | None = None,
         owned: bool | None = None,
+        probe_src: Table | None = None,
     ) -> Table:
         # owned=True: src is this plan's own scan output passed explicitly
         # (StageExec under a cache hit) — capacity learning applies;
-        # morsel-fed stages pass src without owned and keep per-call syncs
+        # morsel-fed stages pass src without owned and keep per-call syncs.
+        # probe_src: concrete table to run integer-range probes on when
+        # src is a tracer view (whole-query trace).
         owned_source = owned if owned is not None else (src is None)
         if src is None:
             src = self.source.execute()
         datas = tuple(c.data for c in src.columns)
         valids = tuple(c.valid for c in src.columns)
-        ranges = self._probe_int_ranges(src) if not self.dynamic else None
+        ranges = (
+            self._probe_int_ranges(probe_src if probe_src is not None else src)
+            if not self.dynamic
+            else None
+        )
         sig = (
             (src.capacity,
              tuple(str(c.dtype) for c in src.columns),
