@@ -174,10 +174,22 @@ class Table:
             return self
         if getattr(self, "_cap_learned", False) and not isinstance(self._nrows, int):
             return self
+        # memoized: a table reused across executions (a morsel-streamed
+        # join's HBM-resident build side) must not re-slice its buffers
+        # per call — and downstream per-object caches (_join_prep) need a
+        # stable result object
+        memo = getattr(self, "_shrink_memo", None)
+        if memo is not None and memo[0] == only_if_above:
+            return memo[1]
         newcap = round_capacity(self.nrows)  # may sync a lazy count
         if newcap * 2 > self.capacity:
-            return self
-        return self.with_capacity(newcap)
+            res = self
+        else:
+            res = self.with_capacity(newcap)
+            if getattr(self, "_reused_build", False):
+                res._reused_build = True
+        self._shrink_memo = (only_if_above, res)
+        return res
 
     def with_capacity(self, capacity: int) -> "Table":
         return Table(

@@ -238,17 +238,27 @@ def _tiny_semi_anti(lt: Table, rt: Table, on, join_type: str) -> Table:
 
 def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=False) -> Table:
     lcap, rcap = lt.capacity, rt.capacity
-    if (
-        join_type in ("semi", "anti")
-        and filter is None
-        and isinstance(rt._nrows, int)  # count already on host: free check
-        and rt.nrows <= TINY_BUILD_ROWS
-        and lcap > rcap
-    ):
-        return _tiny_semi_anti(lt, rt, on, join_type)
+    if join_type in ("semi", "anti") and filter is None and lcap > rcap:
+        tiny = (
+            isinstance(rt._nrows, int)  # count already on host: free check
+            and rt.nrows <= TINY_BUILD_ROWS
+        )
+        if (
+            not tiny
+            and lcap >= (1 << 20)
+            and rcap <= 4096
+            and not isinstance(rt._nrows, jax.core.Tracer)
+        ):
+            # a floor-capacity build against a huge probe (HAVING / EXISTS
+            # results): one count sync (~28 ms) decides whether the
+            # direct-compare path can replace a probe-capacity sort pass
+            # (the q18 semi join compacts 8M rows otherwise)
+            tiny = rt.nrows <= TINY_BUILD_ROWS
+        if tiny:
+            return _tiny_semi_anti(lt, rt, on, join_type)
     base_key = (_table_sig(lt), _table_sig(rt), repr(on), join_type, repr(filter))
 
-    def trace_a(ld, lv, nl, rd, rv, nr):
+    def trace_a(ld, lv, nl, rd, rv, nr, prep=None):
         ltv = _view(lt, ld, lv)
         rtv = _view(rt, rd, rv)
         lkeys, rkeys = _join_keys(ltv, rtv, on)
@@ -258,15 +268,29 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
             [K.hashable_key(c.data, c.dtype) for c in lkeys],
             [c.valid for c in lkeys],
         ))
-        rhash = K.hash_fold32(K.hash_columns(
-            [K.hashable_key(c.data, c.dtype) for c in rkeys],
-            [c.valid for c in rkeys],
-        ))
-        sorted_hash, build_order = K.join_build_sort(rhash, nr)
+        if prep is not None:
+            # build side hashed/sorted ONCE outside the probe stream
+            # (hash_join.rs:280-425 collect-once build): morsel loops
+            # reuse it, so per-morsel cost scales with the morsel
+            sorted_hash, build_order, rl = prep
+        else:
+            rhash = K.hash_fold32(K.hash_columns(
+                [K.hashable_key(c.data, c.dtype) for c in rkeys],
+                [c.valid for c in rkeys],
+            ))
+            sorted_hash, build_order = K.join_build_sort(rhash, nr)
+            rl = None
         probe_ok = jnp.arange(lcap) < nl
         for c in lkeys:
             probe_ok = probe_ok & c.valid
-        lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
+        if K.probe_binary():
+            if rl is None:
+                rl = K.build_run_lengths(sorted_hash)
+            lo, counts = K.join_probe_counts_binary(
+                sorted_hash, rl, lhash, probe_ok, nr
+            )
+        else:
+            lo, counts = K.join_probe_counts(sorted_hash, lhash, probe_ok, nr)
         stats = K.candidate_stats(counts)
         return lo, counts, build_order, stats
 
@@ -275,6 +299,36 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
     rd = tuple(c.data for c in rt.columns)
     rv = tuple(c.valid for c in rt.columns)
     nl, nr = lt.nrows_dev, rt.nrows_dev
+
+    # build-side preparation, hoisted for streamed joins: a table marked
+    # _reused_build (the HBM-resident build of a morsel-streamed join,
+    # physical/morsel.py) is hashed + sorted ONCE and every probe morsel
+    # reuses (sorted_hash, build_order, run_lengths) — per-morsel work
+    # then scales with the morsel, not the build (the reference collects
+    # its build side once and streams probe batches, hash_join.rs:280-425)
+    prep = None
+    if getattr(rt, "_reused_build", False):
+        pkey = (repr(on), tuple(id(c.dictionary) for c in lt.columns))
+        cached_prep = getattr(rt, "_join_prep", None)
+        if cached_prep is None or cached_prep[0] != pkey:
+            pfn = _cache_get(("P",) + base_key)
+            if pfn is None:
+
+                def trace_prep(ld2, lv2, nl2, rd2, rv2, nr2):
+                    ltv = _view(lt, ld2, lv2)
+                    rtv = _view(rt, rd2, rv2)
+                    _lk, rkeys = _join_keys(ltv, rtv, on)
+                    rhash = K.hash_fold32(K.hash_columns(
+                        [K.hashable_key(c.data, c.dtype) for c in rkeys],
+                        [c.valid for c in rkeys],
+                    ))
+                    sh, bo = K.join_build_sort(rhash, nr2)
+                    return sh, bo, K.build_run_lengths(sh)
+
+                pfn = jax.jit(trace_prep)
+                _cache_put(("P",) + base_key, pfn)
+            rt._join_prep = (pkey, tuple(pfn(ld, lv, nl, rd, rv, nr)))
+        prep = rt._join_prep[1]
 
     # speculative sizing: pick static capacities WITHOUT reading the
     # candidate total (a blocking D2H sync that also drains the dispatch
@@ -303,15 +357,18 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
 
     if spec_caps is not None:
         expand_cap, final_cap, fk = spec_caps
-        entry_ab = _cache_get(("AB", expand_cap, final_cap, fk) + base_key)
+        ab_key = ("AB", expand_cap, final_cap, fk, prep is not None) + base_key
+        entry_ab = _cache_get(ab_key)
         if entry_ab is None:
             tb = _make_trace_b(
                 lt, rt, on, join_type, filter, lcap, rcap, expand_cap, final_cap,
                 fk=fk,
             )
 
-            def phase_ab(ld, lv, nl, rd, rv, nr):
-                lo, counts, build_order, stats = trace_a(ld, lv, nl, rd, rv, nr)
+            def phase_ab(ld, lv, nl, rd, rv, nr, prep):
+                lo, counts, build_order, stats = trace_a(
+                    ld, lv, nl, rd, rv, nr, prep
+                )
                 out_d, out_v, cnt, bflag = tb(
                     ld, lv, nl, rd, rv, nr, lo, counts, build_order
                 )
@@ -326,8 +383,8 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
                 return out_d, out_v, cnt, flag
 
             entry_ab = jax.jit(phase_ab)
-            _cache_put(("AB", expand_cap, final_cap, fk) + base_key, entry_ab)
-        out_d, out_v, cnt_dev, flag = entry_ab(ld, lv, nl, rd, rv, nr)
+            _cache_put(ab_key, entry_ab)
+        out_d, out_v, cnt_dev, flag = entry_ab(ld, lv, nl, rd, rv, nr, prep)
         K.spec_record(flag)
         out = _join_out_table(lt, rt, join_type, out_d, out_v, cnt_dev)
         if final_cap is not None:
@@ -335,11 +392,12 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
         return out
 
     # ---- exact path (first run of this join shape, or post-overflow) ----
-    entry_a = _cache_get(("A",) + base_key)
+    a_key = ("A", prep is not None) + base_key
+    entry_a = _cache_get(a_key)
     if entry_a is None:
         entry_a = jax.jit(trace_a)
-        _cache_put(("A",) + base_key, entry_a)
-    lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr)
+        _cache_put(a_key, entry_a)
+    lo, counts, build_order, total_dev = entry_a(ld, lv, nl, rd, rv, nr, prep)
     # ONE host transfer for (candidate total, max fan-out): total sizes the
     # expansion; fan-out <= 1 (FK/PK joins — nearly every TPC-H join)
     # unlocks the expansion-free phase-B specialization on warm runs

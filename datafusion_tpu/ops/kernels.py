@@ -378,8 +378,16 @@ def filter_compact(datas: tuple, valids: tuple, keep: jnp.ndarray, nrows: jnp.nd
     alive = jnp.arange(cap) < nrows
     keep = keep & alive
     cnt = jnp.sum(keep)
-    _, moved = cosort((~keep,), tuple(datas) + tuple(valids))
     live = jnp.arange(cap) < cnt
+    if is_cpu_backend() and len(datas) >= 3:
+        # CPU: comparisons are real work, so a wide payload-carrying sort
+        # over many columns loses to ONE narrow stable bool sort carrying
+        # just the row index + a single packed row gather (the reverse of
+        # the TPU trade-off below) — ~10x on a 10-column 8M-row compact
+        _, (perm,) = cosort((~keep,), (jnp.arange(cap, dtype=jnp.int32),))
+        out_d, out_v, _ = take_rows(datas, valids, perm)
+        return tuple(out_d), tuple(v & live for v in out_v), cnt
+    _, moved = cosort((~keep,), tuple(datas) + tuple(valids))
     out_d = tuple(moved[: len(datas)])
     out_v = tuple(v & live for v in moved[len(datas):])
     return out_d, out_v, cnt
@@ -857,6 +865,62 @@ def join_probe_counts(
 
     lo_c = jnp.clip(lo, 0, nb - 1)
     hit = h31b[lo_c] == h31p
+    hi = jnp.where(hit, lo + rl[lo_c], lo)
+    hi = jnp.minimum(hi, nrows_build.astype(jnp.int32))
+    lo = jnp.minimum(lo, hi)
+    counts = jnp.where(probe_alive_valid, hi - lo, 0)
+    lo = jnp.where(probe_alive_valid, lo, 0)
+    return lo, counts
+
+
+def is_cpu_backend() -> bool:
+    """Trace-time backend check: several kernels pick different algorithms
+    on CPU vs TPU (sorting networks move payloads for free on TPU but
+    cost real comparisons on CPU; gathers are cheap on CPU but pay fixed
+    per-row cost on TPU).  Baked into traced programs — fine, since a
+    process runs one backend."""
+    return jax.default_backend() == "cpu"
+
+
+def probe_binary() -> bool:
+    """Probe-rank strategy per backend: on TPU, `searchsorted` lowers
+    catastrophically (see join_probe_counts) and the merge-rank co-sort
+    wins 20x; on CPU the reverse holds — a binary search is O(P log B)
+    with no (P+B)-sized sort, which is what makes morsel-streamed joins
+    cost O(morsel) instead of O(build) per morsel (SF10 out-of-HBM
+    validation runs on the CPU backend)."""
+    return is_cpu_backend()
+
+
+@jax.jit
+def build_run_lengths(sorted_hash: jnp.ndarray) -> jnp.ndarray:
+    """rl[j] = length of the equal-hash run containing j, on the sorted
+    build hashes.  Hoistable per build side (reused across probe morsels)."""
+    nb = sorted_hash.shape[0]
+    j = jnp.arange(nb, dtype=jnp.int32)
+    boundary = (sorted_hash != jnp.roll(sorted_hash, 1)).at[0].set(True)
+    start = jax.lax.cummax(jnp.where(boundary, j, -1))
+    nxt_incl = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(boundary, j, nb))))
+    nxt_excl = jnp.concatenate([nxt_incl[1:], jnp.array([nb], nxt_incl.dtype)])
+    return (nxt_excl - start).astype(jnp.int32)
+
+
+@jax.jit
+def join_probe_counts_binary(
+    sorted_hash: jnp.ndarray,
+    rl: jnp.ndarray,
+    probe_hash: jnp.ndarray,
+    probe_alive_valid: jnp.ndarray,
+    nrows_build: jnp.ndarray,
+):
+    """Binary-search variant of join_probe_counts (CPU backend — see
+    probe_binary): lo = leftmost equal-hash position in the sorted build
+    hashes, counts from precomputed run lengths.  Full 32-bit hashes
+    (the merge path's 31-bit fold is a sort-width trick it doesn't need)."""
+    nb = sorted_hash.shape[0]
+    lo = jnp.searchsorted(sorted_hash, probe_hash, side="left").astype(jnp.int32)
+    lo_c = jnp.clip(lo, 0, nb - 1)
+    hit = sorted_hash[lo_c] == probe_hash
     hi = jnp.where(hit, lo + rl[lo_c], lo)
     hi = jnp.minimum(hi, nrows_build.astype(jnp.int32))
     lo = jnp.minimum(lo, hi)

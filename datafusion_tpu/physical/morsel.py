@@ -292,6 +292,10 @@ class MorselJoinStageExec(ExecutionPlan):
             else jt in ("left", "full")
         )
         build_tbl = self.build.execute()
+        # the build side is reused across every probe morsel: the join
+        # layer hashes + sorts it ONCE (ops/join.py _join_prep) so
+        # per-morsel work scales with the morsel, not the build
+        build_tbl._reused_build = True
         jschema = self.join.schema()
         nfields = len(jschema.fields)
         nb = len(build_tbl.columns)
@@ -315,6 +319,7 @@ class MorselJoinStageExec(ExecutionPlan):
                 list(build_tbl.columns) + [rowid],
                 build_tbl.nrows_dev,
             )
+            btbl2._reused_build = True
             bmem = MemoryExec(btbl2, btbl2.schema())
             per_jt = {"right": "inner", "full": "left"}[jt] if self.host_on_left \
                 else {"left": "inner", "full": "right"}[jt]
