@@ -242,8 +242,16 @@ class HashAggregateExec(ExecutionPlan):
             for (nm, dt, dic), d, v in zip(meta, out_d, out_v)
         ]
         out = Table([nm for nm, _, _ in meta], cols, int(n))
-        tgt = round_capacity(out.nrows)
-        if tgt < out.capacity:
+        # capacity RATCHET across repeated executions (morsel loops call
+        # this once per morsel): per-morsel group counts jitter between
+        # round_capacity buckets, and every distinct output capacity is a
+        # distinct compiled program for every downstream operator — pin
+        # the output to the largest capacity seen so shapes stabilize
+        tgt = max(
+            round_capacity(out.nrows), getattr(self, "_out_cap_ratchet", 0)
+        )
+        self._out_cap_ratchet = tgt
+        if tgt != out.capacity:
             out = out.with_capacity(tgt)
         return out
 

@@ -16,6 +16,7 @@ Reference equivalents:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -213,56 +214,107 @@ class UnionExec(ExecutionPlan):
         return "UnionExec"
 
 
+# jitted device-concat programs, keyed on (per-piece capacities, storage
+# dtypes, out capacity) — morsel merges call concat with the same shapes
+# every query, so one compiled program serves the whole session
+_CONCAT_JIT: dict = {}
+
+
 def concat_tables(tables: list[Table], schema: Schema) -> Table:
     """Concatenate live rows of several tables into one compacted table,
-    casting to the target schema and merging string dictionaries."""
-    total = sum(t.nrows for t in tables)
-    cap = round_capacity(total)
+    casting to the target schema and merging string dictionaries.
+
+    Device-side and sync-free: pieces are stitched with ascending
+    dynamic_update_slice at traced offsets (each piece's dead tail is
+    overwritten by the next piece), in ONE jitted program whose shapes
+    depend only on piece capacities — a morsel merge used to pay one
+    count sync per piece plus dozens of eager dispatches per column."""
     names = schema.names()
-    out_cols: list[Column] = []
+    pieces_by_col: list[list[Column]] = []
+    dictionaries: list = []
     for i, f in enumerate(schema.fields):
-        pieces = []
-        for t in tables:
-            pieces.append(cast_column(t.columns[i], f.dtype))
+        pieces = [cast_column(t.columns[i], f.dtype) for t in tables]
         if f.dtype.is_string:
-            # merge all dictionaries at once, remap each piece once
-            val_arrays = [
-                p.dictionary.values.astype(str)
-                for p in pieces
+            live_dicts = [
+                p.dictionary for p in pieces
                 if p.dictionary is not None and len(p.dictionary) > 0
             ]
-            all_vals = (
-                np.unique(np.concatenate(val_arrays))
-                if val_arrays
-                else np.array([], dtype=str)
-            )
-            merged_dict = StringDict(all_vals.astype(object))
-            new_pieces = []
-            for p in pieces:
-                if p.dictionary is None or len(p.dictionary) == 0:
-                    new_pieces.append(Column(STRING, p.data, p.valid, merged_dict))
-                else:
-                    remap = np.searchsorted(
-                        all_vals, p.dictionary.values.astype(str)
-                    ).astype(np.int32)
-                    out = jnp.asarray(remap)[jnp.clip(p.data, 0, len(remap) - 1)]
-                    new_pieces.append(Column(STRING, out, p.valid, merged_dict))
-            pieces = new_pieces
-            dictionary = merged_dict
+            distinct = {id(d): d for d in live_dicts}
+            if len(distinct) <= 1:
+                # common case (morsel outputs share the host table's
+                # dictionary): no remap, no per-piece gathers
+                merged = live_dicts[0] if live_dicts else StringDict.empty()
+                pieces = [
+                    Column(STRING, p.data, p.valid, merged) for p in pieces
+                ]
+            else:
+                val_arrays = [d.values.astype(str) for d in distinct.values()]
+                all_vals = np.unique(np.concatenate(val_arrays))
+                merged = StringDict(all_vals.astype(object))
+                new_pieces = []
+                for p in pieces:
+                    if p.dictionary is None or len(p.dictionary) == 0:
+                        new_pieces.append(Column(STRING, p.data, p.valid, merged))
+                    else:
+                        remap = np.searchsorted(
+                            all_vals, p.dictionary.values.astype(str)
+                        ).astype(np.int32)
+                        out = jnp.asarray(remap)[jnp.clip(p.data, 0, len(remap) - 1)]
+                        new_pieces.append(Column(STRING, out, p.valid, merged))
+                pieces = new_pieces
+            dictionaries.append(merged)
         else:
-            dictionary = None
-        datas = []
-        valids = []
-        for t, p in zip(tables, pieces):
-            datas.append(p.data[: t.nrows])
-            valids.append(p.valid[: t.nrows])
-        pad = cap - total
-        storage = f.dtype.storage_np_dtype()
-        datas.append(jnp.zeros(pad, storage))
-        valids.append(jnp.zeros(pad, bool))
-        data = jnp.concatenate([d.astype(storage) for d in datas])
-        valid = jnp.concatenate(valids)
-        out_cols.append(Column(f.dtype, data, valid, dictionary))
+            dictionaries.append(None)
+        pieces_by_col.append(pieces)
+
+    m = len(tables)
+    ncols = len(schema.fields)
+    caps = tuple(t.capacity for t in tables)
+    storages = tuple(f.dtype.storage_np_dtype() for f in schema.fields)
+    out_cap = round_capacity(sum(caps))
+    key = (caps, tuple(str(s) for s in storages), out_cap)
+    fn = _CONCAT_JIT.get(key)
+    if fn is None:
+
+        def program(datas, valids, nrows):
+            offs = []
+            off = jnp.int64(0)
+            for n in nrows:
+                offs.append(off)
+                off = off + jnp.maximum(n, 0)
+            total = off
+            out_d, out_v = [], []
+            for j in range(ncols):
+                d0 = jnp.zeros(out_cap, storages[j])
+                v0 = jnp.zeros(out_cap, bool)
+                for i in range(m):
+                    d = datas[i][j].astype(storages[j])
+                    v = valids[i][j] & (jnp.arange(caps[i]) < nrows[i])
+                    # ascending writes: piece i's dead tail lands in piece
+                    # i+1's region and is overwritten by the next write
+                    d0 = jax.lax.dynamic_update_slice(d0, d, (offs[i],))
+                    v0 = jax.lax.dynamic_update_slice(v0, v, (offs[i],))
+                out_d.append(d0)
+                out_v.append(v0)
+            return tuple(out_d), tuple(out_v), total
+
+        fn = jax.jit(program)
+        if len(_CONCAT_JIT) > 256:
+            _CONCAT_JIT.clear()
+        _CONCAT_JIT[key] = fn
+
+    datas = tuple(
+        tuple(pieces_by_col[j][i].data for j in range(ncols)) for i in range(m)
+    )
+    valids = tuple(
+        tuple(pieces_by_col[j][i].valid for j in range(ncols)) for i in range(m)
+    )
+    nrows = tuple(jnp.asarray(t.nrows_dev) for t in tables)
+    out_d, out_v, total = fn(datas, valids, nrows)
+    out_cols = [
+        Column(f.dtype, d, v, dic)
+        for f, dic, d, v in zip(schema.fields, dictionaries, out_d, out_v)
+    ]
     return Table(names, out_cols, total)
 
 

@@ -284,8 +284,19 @@ class CompiledStage:
             tgt = round_capacity(t.nrows)
             if owned_source:
                 self._learned_caps[sig] = tgt
-            if tgt < t.capacity:
-                t = t.with_capacity(tgt)
+                if tgt < t.capacity:
+                    t = t.with_capacity(tgt)
+            else:
+                # morsel-fed stage: per-morsel live counts jitter between
+                # capacity buckets, and every distinct output capacity
+                # recompiles every downstream operator — RATCHET to the
+                # largest capacity seen so shapes stabilize after the
+                # first morsels
+                key = ("morsel",) + sig
+                tgt = max(tgt, self._learned_caps.get(key, 0))
+                self._learned_caps[key] = tgt
+                if tgt != t.capacity:
+                    t = t.with_capacity(tgt)
         return t
 
     # ------------------------------------------------------------------
