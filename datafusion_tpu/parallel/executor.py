@@ -307,6 +307,12 @@ class SpmdExecutor:
                     return self._gather_run(plan, [st])
                 try:
                     out, ovf = dist_window_global(st, plan.window_exprs)
+                    if ovf < 0:
+                        # RANGE-frame value window wider than the halo (or
+                        # null order keys): a data condition, so degrade
+                        # to the gather even in strict mode
+                        self._note(plan, "gather")
+                        return self._gather_run(plan, [st])
                     if ovf > 0:
                         raise ExecutionError(
                             "dist_window_global: range overflow persists"

@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..columnar.column import Column
 from ..columnar.table import Table, round_capacity
-from ..errors import ExecutionError
+from ..errors import ExecutionError, PlanError
 from ..exprs.physical import PhysicalExpr, harmonize_strings
 from ..ops import kernels as K
 from ..ops.aggregate import PhysAggExpr, _eval_aggregate, _group_rows, _merge_aggregate, _segment_first_index
@@ -83,17 +83,22 @@ def default_bucket(shard_cap: int, ndev: int) -> int:
 
 
 def _pay_at(pd, pv, pmap, idx):
-    """Materialize payload rows at compacted row indices ``idx``.
-    pmap=None means payloads are already in compacted order (skew path)."""
-    m = idx if pmap is None else pmap[idx]
-    return [K.gather64(d, m) for d in pd], [v[m] for v in pv]
+    """Materialize payload rows at compacted row indices ``idx`` with ONE
+    packed [N, W] row gather (kernels.take_rows — per-column gathers cost
+    ~4x more on TPU; this is the same move the local join's output
+    materialization made in r4).  pmap=None means payloads are already in
+    compacted order (skew path)."""
+    m = idx if pmap is None else pmap[idx.astype(jnp.int32)]
+    out_d, out_v, _ = K.take_rows(tuple(pd), tuple(pv), m)
+    return list(out_d), list(out_v)
 
 
 def _pay_full(pd, pv, pmap):
     """Payload columns in compacted order over the full capacity."""
     if pmap is None:
         return list(pd), list(pv)
-    return [K.gather64(d, pmap) for d in pd], [v[pmap] for v in pv]
+    out_d, out_v, _ = K.take_rows(tuple(pd), tuple(pv), pmap)
+    return list(out_d), list(out_v)
 
 
 def _local_view(st: ShardedTable, datas, valids) -> Table:
@@ -1197,16 +1202,35 @@ def _frame_deltas(fr):
 
 
 def _dist_frame_eligible(w) -> bool:
-    """Mesh-native explicit frames: ROWS with bounded offsets <= the halo,
-    or UNBOUNDED PRECEDING with a non-negative bounded end (running
-    frames).  RANGE/GROUPS offsets and suffix frames fall back to the
-    single-partition gather (par with the reference, which pins ALL
-    windows to one partition, windows/window_agg_exec.rs)."""
+    """Mesh-native explicit frames: ROWS with bounded offsets <= the halo;
+    RANGE frames over ONE numeric ORDER BY key, resolved by bisecting the
+    halo-extended key plane with a device-side coverage flag (a value
+    window wider than the halo falls back to the gather).  GROUPS offsets
+    and suffix frames still fall back (par with the reference, which pins
+    ALL windows to one partition, windows/window_agg_exec.rs)."""
     if w.fun not in _GLOBAL_WIN_AGGS:
         # the local engine applies frames only to aggregates; ranking /
         # value functions ignore them — same here
         return True
     fr = w.frame
+    if fr.units == "range":
+        if len(w.order_by) != 1:
+            return False
+        dt = w.order_by[0].expr.dtype
+        if not (dt.is_integer or dt.is_float or dt.is_decimal
+                or dt.kind in ("date32", "timestamp_us")):
+            return False
+        if fr.end.offset is None and fr.end.kind != "current":
+            return False  # UNBOUNDED FOLLOWING end: fall back
+        if fr.start.offset is None and fr.start.kind not in ("preceding", "current"):
+            return False
+        try:
+            for b in (fr.start, fr.end):
+                if b.offset is not None:
+                    _range_value_offset(b.offset, dt)
+        except Exception:
+            return False  # offset incompatible with the key dtype
+        return True
     if fr.units != "rows":
         return False
     a, b = _frame_deltas(fr)
@@ -1215,6 +1239,26 @@ def _dist_frame_eligible(w) -> bool:
     if a is None:
         return b >= 0  # running frame [start of table, i+b]
     return abs(a) <= _DIST_FRAME_HALO
+
+
+def _range_value_offset(x, dtype):
+    """A RANGE offset on the SQL value axis, converted to the ORDER BY
+    key's storage units (mirrors the local engine's conversion in
+    ops/window.py _range_offset_bounds: decimal offsets scale by 10^s,
+    integer keys demand integral offsets)."""
+    if dtype.is_decimal:
+        from fractions import Fraction
+
+        v = Fraction(str(x)) * (10 ** dtype.scale)
+        if v.denominator != 1:
+            raise PlanError("RANGE offset finer than the ORDER BY decimal scale")
+        return int(v)
+    if dtype.is_float:
+        return float(x)
+    fx = float(x)
+    if fx != int(fx):
+        raise PlanError("RANGE offset must be an integer for integer ORDER BY keys")
+    return int(fx)
 
 
 def global_window_eligible(window_exprs) -> bool:
@@ -1255,14 +1299,16 @@ def global_window_eligible(window_exprs) -> bool:
     return True
 
 
-def _halo_ext(plane, fill, ctx):
+def _halo_ext(plane, fill, ctx, fill_lo=None):
     """Extended per-shard view of a row-aligned plane: ext[q] = the plane's
     value at GLOBAL row (row_off - H + q), q in [0, fcap + 2H).
 
     Built from all-gathered [ndev, H] head/tail edge planes, so a frame
     that spans several tiny shards still resolves exactly (the shard of a
     global row within +-H of this shard's range always holds it within H
-    of its own edge).  Out-of-table positions read ``fill``."""
+    of its own edge).  Out-of-table positions read ``fill`` (``fill_lo``
+    before row 0 when given — RANGE bisects need distinct sentinels at
+    each end to keep the plane monotone)."""
     H = _DIST_FRAME_HALO
     nloc, fcap = ctx["nloc"], ctx["fcap"]
     ndev, row_off = ctx["ndev"], ctx["row_off"]
@@ -1292,46 +1338,138 @@ def _halo_ext(plane, fill, ctx):
     remote = jnp.where(use_head, hv, tv)
     local = plane[jnp.clip(j - row_off, 0, fcap - 1).astype(jnp.int32)]
     out = jnp.where(is_local, local, remote)
-    return jnp.where(in_table, out, fill)
+    out = jnp.where(in_table, out, fill)
+    if fill_lo is not None:
+        out = jnp.where(j < 0, fill_lo, out)
+    return out
+
+
+def _range_ext_bounds(w, t, ctx):
+    """RANGE-with-offset frame bounds in halo-extended coordinates:
+    per-row vectorized bisect of the sorted ORDER BY key plane extended
+    across shard edges (_halo_ext), exactly the local engine's
+    _range_offset_bounds over a distributed plane.
+
+    Returns (lo_idx | None for running frames, hi_idx, overflow) where
+    overflow flags any live row whose value window reaches past the halo
+    coverage — the caller falls back to the gather in that (rare) case
+    instead of producing a silently-truncated frame."""
+    H = _DIST_FRAME_HALO
+    fcap, nloc, alive = ctx["fcap"], ctx["nloc"], ctx["alive"]
+    row_off, N = ctx["row_off"], ctx["N"]
+    s = w.order_by[0]
+    c = s.expr.evaluate(t)
+    key = K.orderable_key(c.data, c.dtype)
+    if s.ascending is False:
+        key = -key  # frames live on the sort direction's axis
+    extcap = fcap + 2 * H
+    if jnp.issubdtype(key.dtype, jnp.floating):
+        kmax = jnp.asarray(jnp.inf, key.dtype)
+        kmin = jnp.asarray(-jnp.inf, key.dtype)
+    else:
+        kmax = jnp.asarray(jnp.iinfo(key.dtype).max, key.dtype)
+        kmin = jnp.asarray(jnp.iinfo(key.dtype).min, key.dtype)
+    ext = _halo_ext(key, kmax, ctx, fill_lo=kmin)
+    # slots past the guaranteed-coverage limit (H beyond this shard's live
+    # end) may read garbage from non-adjacent shards: pin them to +max so
+    # the plane stays monotone; the coverage flag below catches windows
+    # that actually reach there
+    qlim = H + nloc + H
+    q = jnp.arange(extcap)
+    ext = jnp.where(q < qlim, ext, kmax)
+
+    def bisect(target, right):
+        lo = jnp.zeros(fcap, jnp.int32)
+        hi = jnp.full(fcap, extcap, jnp.int32)
+        for _ in range(int(np.ceil(np.log2(max(extcap, 2)))) + 1):
+            mid = (lo + hi) // 2
+            mv = ext[jnp.clip(mid, 0, extcap - 1)]
+            go = (mv <= target) if right else (mv < target)
+            lo = jnp.where(go, mid + 1, lo)
+            hi = jnp.where(go, hi, mid)
+        return lo
+
+    def off(x):
+        return _range_value_offset(x, c.dtype)
+
+    fr = w.frame
+    running = fr.start.kind == "preceding" and fr.start.offset is None
+    lo_idx = None
+    if not running:
+        if fr.start.kind == "preceding":
+            lo_idx = bisect(key - off(fr.start.offset), right=False)
+        elif fr.start.kind == "current":
+            lo_idx = bisect(key, right=False)
+        else:  # following with offset
+            lo_idx = bisect(key + off(fr.start.offset), right=False)
+    if fr.end.kind == "current":
+        hi_idx = bisect(key, right=True) - 1
+    elif fr.end.kind == "following":
+        hi_idx = bisect(key + off(fr.end.offset), right=True) - 1
+    else:  # preceding end with offset
+        hi_idx = bisect(key - off(fr.end.offset), right=True) - 1
+
+    flag_lo = jnp.int32(0)
+    if lo_idx is not None:
+        flag_lo = (
+            jnp.any(alive & (lo_idx == 0)) & (row_off - H > 0)
+        ).astype(jnp.int32)
+    flag_hi = (
+        jnp.any(alive & (hi_idx >= qlim - 1)) & (row_off + nloc < N)
+    ).astype(jnp.int32)
+    # NULL order keys break the plane's monotonicity (they sort by null
+    # rank, not by their stored value), so the per-shard bisect could
+    # diverge from the single-device engine's — flag and gather instead
+    flag_null = jnp.any(alive & ~c.valid).astype(jnp.int32)
+    return lo_idx, hi_idx, flag_lo | flag_hi | flag_null
 
 
 def _framed_window_aggregate(f, w, varg, mask, ctx):
-    """Explicit ROWS frame over the mesh (no PARTITION BY): the frame
-    [i+a, i+b] reads at most _DIST_FRAME_HALO rows beyond the shard edge,
-    served by `_halo_ext`; running frames (UNBOUNDED PRECEDING) add the
-    preceding-shard totals like the default frame does.  Mirrors the local
-    `_window_aggregate_range` null semantics exactly."""
+    """Explicit frame over the mesh (no PARTITION BY): ROWS frames
+    [i+a, i+b] read at most _DIST_FRAME_HALO rows beyond the shard edge,
+    served by `_halo_ext`; RANGE frames bisect the halo-extended key plane
+    (_range_ext_bounds) and flag windows wider than the halo; running
+    frames (UNBOUNDED PRECEDING) add the preceding-shard totals like the
+    default frame does.  Mirrors the local `_window_aggregate_range` null
+    semantics exactly.  Returns (data, valid, overflow)."""
     from ..ops.aggregate import _to_float
 
     H = _DIST_FRAME_HALO
     fcap, alive = ctx["fcap"], ctx["alive"]
     prefix_sum_across = ctx["prefix_sum_across"]
-    a, b = _frame_deltas(w.frame)
     ar = jnp.arange(fcap)
+    ovf = jnp.int32(0)
+
+    if w.frame.units == "range":
+        lo_idx, hi_idx, ovf = _range_ext_bounds(w, ctx["t"], ctx)
+        running = lo_idx is None
+    else:
+        a, b = _frame_deltas(w.frame)
+        hi_idx = ar + H + b
+        running = a is None
+        lo_idx = None if running else ar + H + a
 
     cnt_ext = _halo_ext(mask.astype(jnp.int64), jnp.int64(0), ctx)
     ccnt = jnp.cumsum(cnt_ext)
 
-    def ext_sum(c, lo_idx, hi_idx):
-        hi_v = c[jnp.clip(hi_idx, 0, c.shape[0] - 1)]
-        lo_ok = lo_idx - 1 >= 0
+    def ext_sum(c, lo_i, hi_i):
+        hi_v = c[jnp.clip(hi_i, 0, c.shape[0] - 1)]
+        lo_ok = lo_i - 1 >= 0
         lo_v = jnp.where(
-            lo_ok, c[jnp.clip(lo_idx - 1, 0, c.shape[0] - 1)], jnp.zeros((), c.dtype)
+            lo_ok, c[jnp.clip(lo_i - 1, 0, c.shape[0] - 1)], jnp.zeros((), c.dtype)
         )
-        return jnp.where(hi_idx >= lo_idx, hi_v - lo_v, jnp.zeros((), c.dtype))
+        return jnp.where(hi_i >= lo_i, hi_v - lo_v, jnp.zeros((), c.dtype))
 
-    hi_idx = ar + H + b
-    if a is None:
-        # running frame: everything before this shard + ext prefix to i+b
+    if running:
+        # running frame: everything before this shard + ext prefix to hi
         cnt = prefix_sum_across(jnp.sum(mask.astype(jnp.int64))) + ext_sum(
             ccnt, jnp.full(fcap, H), hi_idx
         )
     else:
-        lo_idx = ar + H + a
         cnt = ext_sum(ccnt, lo_idx, hi_idx)
 
     if f == "count":
-        return cnt, alive
+        return cnt, alive, ovf
     has = cnt > 0
 
     if f in ("sum", "avg", "mean"):
@@ -1341,15 +1479,15 @@ def _framed_window_aggregate(f, w, varg, mask, ctx):
         else:
             x = jnp.where(mask, _to_float(varg.data, varg.dtype), 0.0)
         cx = jnp.cumsum(_halo_ext(x, jnp.zeros((), x.dtype), ctx))
-        if a is None:
+        if running:
             s = prefix_sum_across(jnp.sum(x)) + ext_sum(
                 cx, jnp.full(fcap, H), hi_idx
             )
         else:
-            s = ext_sum(cx, ar + H + a, hi_idx)
+            s = ext_sum(cx, lo_idx, hi_idx)
         if f == "sum":
-            return s, alive & has
-        return s / jnp.maximum(cnt, 1), alive & has
+            return s, alive & has, ovf
+        return s / jnp.maximum(cnt, 1), alive & has, ovf
 
     # min / max
     from ..ops.window import _range_minmax
@@ -1367,7 +1505,7 @@ def _framed_window_aggregate(f, w, varg, mask, ctx):
         x = jnp.where(mask, ordk, neutral)
     ext = _halo_ext(x, jnp.asarray(neutral, x.dtype), ctx)
     extcap = fcap + 2 * H
-    if a is None:
+    if running:
         # prior shards reduce wholly; the ext's tail region is a subset of
         # them, so including it in the running reduce is idempotent
         me, ndev = ctx["me"], ctx["ndev"]
@@ -1380,8 +1518,8 @@ def _framed_window_aggregate(f, w, varg, mask, ctx):
         run = jax.lax.cummin(ext) if f == "min" else jax.lax.cummax(ext)
         out = opfn(prior, run[jnp.clip(hi_idx, 0, extcap - 1)])
     else:
-        out = _range_minmax(ext, ar + H + a, hi_idx, extcap, opfn, neutral)
-    return out.astype(varg.dtype.storage_np_dtype()), alive & has
+        out = _range_minmax(ext, lo_idx, hi_idx, extcap, opfn, neutral)
+    return out.astype(varg.dtype.storage_np_dtype()), alive & has, ovf
 
 
 def dist_window_global(st: ShardedTable, window_exprs):
@@ -1475,6 +1613,9 @@ def dist_window_global(st: ShardedTable, window_exprs):
 
         out_d: list[jnp.ndarray] = []
         out_v: list[jnp.ndarray] = []
+        # RANGE-frame halo-coverage flag (max-reduced across shards on the
+        # way out; nonzero => the executor falls back to the gather)
+        frame_ovf = [jnp.int32(0)]
         for w in window_exprs:
             f = w.fun
             if f == "row_number":
@@ -1635,12 +1776,14 @@ def dist_window_global(st: ShardedTable, window_exprs):
                 (varg.valid & alive) if varg is not None else alive
             )
             if w.frame is not None:
-                d, v_ = _framed_window_aggregate(
+                d, v_, f_ovf = _framed_window_aggregate(
                     f, w, varg, mask,
                     dict(nloc=nloc, fcap=fcap, ndev=ndev, me=me,
                          row_off=row_off, ends=ends, offsets=offsets, N=N,
-                         alive=alive, prefix_sum_across=prefix_sum_across),
+                         alive=alive, prefix_sum_across=prefix_sum_across,
+                         t=t),
                 )
+                frame_ovf[0] = frame_ovf[0] | f_ovf
                 out_d.append(d)
                 out_v.append(v_)
                 continue
@@ -1716,6 +1859,7 @@ def dist_window_global(st: ShardedTable, window_exprs):
             *out_d,
             *[v for v in valids],
             *out_v,
+            frame_ovf[0].reshape(1),
         )
 
     kout = ncols + len(window_exprs)
@@ -1723,10 +1867,10 @@ def dist_window_global(st: ShardedTable, window_exprs):
         sorted_st.mesh,
         body,
         in_specs=_specs(1 + 2 * ncols),
-        out_specs=_specs(1 + 2 * kout),
+        out_specs=_specs(1 + 2 * kout + 1),
     )
     out = jax.jit(fn)(sorted_st.nrows, *sorted_st.datas, *sorted_st.valids)
-    nrows, rest = out[0], out[1:]
+    nrows, rest, ovf_plane = out[0], out[1:-1], out[-1]
     out_names = list(st.names) + [w.name for w in window_exprs]
     out_dtypes = list(st.dtypes) + [w.dtype for w in window_exprs]
     out_dicts = list(st.dicts) + [_win_dict(w, st) for w in window_exprs]
@@ -1750,7 +1894,19 @@ def dist_window_global(st: ShardedTable, window_exprs):
             _exchange_bytes(st.datas, ndev, fcap // ndev) if order_by else 0
         ),
     )
-    return st2, 0
+    # RANGE-frame halo coverage: -1 when some row's value window reaches
+    # past the exchanged halo (or a null order key breaks the bisect) —
+    # a DATA condition, so the executor degrades to the gather even in
+    # strict mode instead of serving a truncated frame.  One host sync,
+    # only when RANGE frames exist (the plane is all-zero otherwise).
+    ovf = 0
+    if any(
+        w.frame is not None and w.frame.units == "range"
+        for w in window_exprs
+        if w.fun in _GLOBAL_WIN_AGGS
+    ):
+        ovf = -1 if int(jnp.max(ovf_plane)) > 0 else 0
+    return st2, ovf
 
 
 def _win_dict(w, st: ShardedTable):

@@ -524,14 +524,47 @@ def test_dist_window_global_order_mesh_native():
         ), (q, ex.node_modes)
         assert key(got) == key(ctx.sql(q).collect().to_pydict()), q
 
-    # RANGE frames with offsets still gather (documented fallback, par
-    # with the reference's SinglePartition requirement) — and stay correct
-    q = ("SELECT i, sum(v) OVER (ORDER BY i RANGE BETWEEN 2 PRECEDING "
+    # RANGE frames with numeric offsets run mesh-native too (round 5):
+    # per-row bisect over the halo-extended ORDER BY key plane; value
+    # windows wider than the halo (or null keys) flag and gather
+    range_queries = [
+        "SELECT i, sum(v) OVER (ORDER BY i RANGE BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW) AS sv FROM t",
+        "SELECT i, sum(v) OVER (ORDER BY i RANGE BETWEEN 3 PRECEDING "
+        "AND 4 FOLLOWING) AS sv, "
+        "count(v) OVER (ORDER BY i RANGE BETWEEN 3 PRECEDING AND "
+        "4 FOLLOWING) AS cv, "
+        "min(v) OVER (ORDER BY i RANGE BETWEEN 3 PRECEDING AND "
+        "4 FOLLOWING) AS mv FROM t",
+        "SELECT i, avg(v) OVER (ORDER BY i RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND 5 FOLLOWING) AS av, "
+        "max(v) OVER (ORDER BY i RANGE BETWEEN CURRENT ROW AND "
+        "2 FOLLOWING) AS xv FROM t",
+    ]
+    for q in range_queries:
+        phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
+        ex = SpmdExecutor(mesh, strict=True)
+        got = ex.execute_plan(phys).to_pydict()
+        assert any(
+            op == "WindowAggExec" and m == "mesh" for op, m in ex.node_modes
+        ), (q, ex.node_modes)
+        assert key(got) == key(ctx.sql(q).collect().to_pydict()), q
+
+    # a value window wider than the halo coverage falls back to the
+    # gather — flagged at run time, never silently truncated
+    q = ("SELECT i, sum(v) OVER (ORDER BY i RANGE BETWEEN 1000 PRECEDING "
+         "AND 1000 FOLLOWING) AS sv FROM t")
+    phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
+    ex = SpmdExecutor(mesh)
+    got = ex.execute_plan(phys).to_pydict()
+    assert key(got) == key(ctx.sql(q).collect().to_pydict())
+
+    # null ORDER BY keys (v has nulls): flagged, gathered, still correct
+    q = ("SELECT i, sum(i) OVER (ORDER BY v RANGE BETWEEN 5 PRECEDING "
          "AND CURRENT ROW) AS sv FROM t")
     phys = ctx.create_physical_plan_for_mesh(ctx.create_logical_plan(q))
-    ex = SpmdExecutor(mesh, strict=True)
+    ex = SpmdExecutor(mesh)
     got = ex.execute_plan(phys).to_pydict()
-    assert ("WindowAggExec", "gather") in ex.node_modes
     assert key(got) == key(ctx.sql(q).collect().to_pydict())
 
 
