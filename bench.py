@@ -121,10 +121,26 @@ def main():
         # measurement with harness overhead.)
         _ = np.asarray(res.columns[-1].data[:1])
 
-    # warm-up (compiles the fused stage)
-    out = ctx.sql(sql).collect()
-    sync(out)
-    assert out.nrows >= 1
+    # methodology (BASELINE.md, unified with bench/RESULTS_*.json): two
+    # warm-ups — iteration 1 pays cache loads + tracing + capacity
+    # learning, iteration 2 builds the learned-shape whole-query program —
+    # then the median of `iters` steady-state runs.  Warn when the host
+    # core is busy: the TPU client's host-side work is on the critical
+    # path at ~30 ms scales and a loaded host inflates the median.
+    try:
+        load1 = os.getloadavg()[0]
+        if load1 > 1.5:
+            print(
+                f"WARNING: host load {load1:.1f} — headline medians are "
+                "only valid on an idle host",
+                file=sys.stderr,
+            )
+    except OSError:  # pragma: no cover
+        pass
+    for _ in range(2):
+        out = ctx.sql(sql).collect()
+        sync(out)
+        assert out.nrows >= 1
 
     times = []
     for _ in range(iters):

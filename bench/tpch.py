@@ -210,9 +210,15 @@ def bench(
     on_query_done = getattr(bench, "on_query_done", None)
     import gc
 
+    # steady state starts at iteration 3: iteration 1 pays XLA-cache loads
+    # + tracing + capacity learning, iteration 2 builds the learned-shape
+    # (whole-query) programs.  Warm-ups run but are NOT recorded, so the
+    # reported median is a steady-state median (BASELINE.md methodology;
+    # the r4 records mixed warm-up iterations into 3-iter medians).
+    warmups = int(_os.environ.get("BENCH_WARMUP", "2"))
     for q in queries:
         times = []
-        for i in range(iterations):
+        for i in range(warmups + iterations):
             gc.collect()  # drop prior intermediates' device buffers (HBM)
             t0 = time.perf_counter()
             t = run_query(ctx, q)
@@ -221,7 +227,9 @@ def bench(
             # block_until_ready costs an RPC round trip per column)
             if t is not None and t.num_columns:
                 np.asarray(t.columns[-1].data[:1])
-            times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i >= warmups:
+                times.append(dt)
         timings[q] = times
         print(f"q{q}: " + ", ".join(f"{x*1000:.1f}ms" for x in times))
         if on_query_done is not None:
