@@ -142,6 +142,7 @@ class MorselStageExec(ExecutionPlan):
             self.agg,
             self._distinct_values,
             self.above,
+            owner=self,
         )
 
 
@@ -161,23 +162,39 @@ def _attach_partial_agg(agg, per):
     return HashAggregateExec("partial", agg.group_expr, agg.aggr_expr, per), 0
 
 
-def _merge_and_finish(outs, pschema, agg, distinct_values, above):
+def _merge_and_finish(outs, pschema, agg, distinct_values, above, owner=None):
     """Concat per-morsel outputs, run the 'final' aggregate over the merged
-    states, then the above-chain ops (Limit? Sort? Proj*)."""
+    states, then the above-chain ops (Limit? Sort? Proj*).
+
+    ``owner`` (the morsel stage) caches the finisher plan across
+    executions: rebuilding the final HashAggregateExec per run used to
+    discard its jit cache and re-trace the merge program every warm
+    iteration."""
     merged = outs[0] if len(outs) == 1 else concat_tables(outs, pschema)
-    node: ExecutionPlan = MemoryExec(merged, pschema)
-    if agg is not None:
-        final_group = [
-            (PhysCol(pschema.fields[i].name, i, pschema.fields[i].dtype), name)
-            for i, (_, name) in enumerate(agg.group_expr)
-        ]
-        node = HashAggregateExec(
-            "final", final_group, agg.aggr_expr, node,
-            distinct_values=distinct_values,
-        )
-    for op in reversed(above):
-        node = op.with_new_children([node])
-    return node.execute()
+    fin = getattr(owner, "_finisher", None) if owner is not None else None
+    if fin is None:
+        swap = _SwapSource(pschema)
+        node: ExecutionPlan = swap
+        if agg is not None:
+            final_group = [
+                (PhysCol(pschema.fields[i].name, i, pschema.fields[i].dtype), name)
+                for i, (_, name) in enumerate(agg.group_expr)
+            ]
+            node = HashAggregateExec(
+                "final", final_group, agg.aggr_expr, node,
+                distinct_values=distinct_values,
+            )
+        for op in reversed(above):
+            node = op.with_new_children([node])
+        fin = (swap, node)
+        if owner is not None:
+            owner._finisher = fin
+    swap, node = fin
+    swap.table = merged
+    try:
+        return node.execute()
+    finally:
+        swap.table = None
 
 
 class _SwapSource(ExecutionPlan):
@@ -357,12 +374,18 @@ class MorselJoinStageExec(ExecutionPlan):
 
         # downstream tree over the ORIGINAL join output schema (a second
         # swap source: per-morsel join outputs AND the final unmatched
-        # batch both feed it)
-        swap2 = _SwapSource(jschema)
-        node: ExecutionPlan = swap2
-        for op in reversed(self.mid):
-            node = op.with_new_children([node])
-        per, distinct_values = _attach_partial_agg(self.agg, node)
+        # batch both feed it).  Cached across executions — the partial
+        # aggregate's per-instance jit cache must survive warm runs, or
+        # every iteration re-traces the morsel merge program.
+        cached = getattr(self, "_per_cache", None)
+        if cached is None:
+            swap2 = _SwapSource(jschema)
+            node: ExecutionPlan = swap2
+            for op in reversed(self.mid):
+                node = op.with_new_children([node])
+            per, distinct_values = _attach_partial_agg(self.agg, node)
+            self._per_cache = (swap2, per, distinct_values)
+        swap2, per, distinct_values = self._per_cache
 
         visited = None
         out_dics = None
@@ -426,5 +449,6 @@ class MorselJoinStageExec(ExecutionPlan):
             outs.append(per.execute())
 
         return _merge_and_finish(
-            outs, per.schema(), self.agg, distinct_values, self.above
+            outs, per.schema(), self.agg, distinct_values, self.above,
+            owner=self,
         )

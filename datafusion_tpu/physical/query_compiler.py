@@ -100,6 +100,32 @@ def _discover_leaves(plan, out, seen):
         _discover_leaves(c, out, seen)
 
 
+def _contains_untraceable(plan) -> bool:
+    """True when the tree contains a node whose execution is inherently
+    host-driven (morsel streaming loops, EXPLAIN formatting) — a
+    whole-query trace attempt would always fail."""
+    from ..datasource.host import HostMemoryExec
+    from ..ops.basic import ExplainExec
+    from .fuse import StageExec
+    from .morsel import MorselJoinStageExec, MorselStageExec
+
+    bad = (MorselStageExec, MorselJoinStageExec, HostMemoryExec, ExplainExec)
+    seen: set = set()
+
+    def walk(n) -> bool:
+        if id(n) in seen:
+            return False
+        seen.add(id(n))
+        if isinstance(n, bad):
+            return True
+        kids = list(n.children())
+        if isinstance(n, StageExec):
+            kids.append(n._source)
+        return any(walk(c) for c in kids)
+
+    return walk(plan)
+
+
 class WholeQuery:
     """Per-plan-object whole-query program (plans are cached per
     (sql, catalog version) in ExecutionContext, so one instance sees every
@@ -112,7 +138,11 @@ class WholeQuery:
         self._fn = None
         self._out_meta = None  # (names, [(dtype, dictionary, vrange)])
         self._attempts = 0
-        self._dead = False
+        # fast-fail: plans containing host-streaming (morsel) or
+        # host-formatting nodes can never whole-trace — marking them dead
+        # up front avoids paying a doomed full trace on every warm run
+        # until MAX_ATTEMPTS runs out
+        self._dead = _contains_untraceable(phys)
 
     # ------------------------------------------------------------------
     def invalidate(self):
