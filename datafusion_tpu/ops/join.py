@@ -238,25 +238,27 @@ def _tiny_semi_anti(lt: Table, rt: Table, on, join_type: str) -> Table:
 
 def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=False) -> Table:
     lcap, rcap = lt.capacity, rt.capacity
+    base_key = (_table_sig(lt), _table_sig(rt), repr(on), join_type, repr(filter))
     if join_type in ("semi", "anti") and filter is None and lcap > rcap:
-        tiny = (
-            isinstance(rt._nrows, int)  # count already on host: free check
-            and rt.nrows <= TINY_BUILD_ROWS
-        )
-        if (
-            not tiny
-            and lcap >= (1 << 20)
-            and rcap <= 4096
-            and not isinstance(rt._nrows, jax.core.Tracer)
-        ):
-            # a floor-capacity build against a huge probe (HAVING / EXISTS
-            # results): one count sync (~28 ms) decides whether the
-            # direct-compare path can replace a probe-capacity sort pass
-            # (the q18 semi join compacts 8M rows otherwise)
-            tiny = rt.nrows <= TINY_BUILD_ROWS
+        if isinstance(rt._nrows, jax.core.Tracer):
+            # whole-query trace: the build count is traced, so reuse the
+            # decision the concrete runs recorded — the tiny program
+            # itself is trace-pure (dynamic fori_loop trip count)
+            tiny = bool(_cache_get(("TINY",) + base_key))
+        else:
+            tiny = (
+                isinstance(rt._nrows, int)  # count already on host: free
+                and rt.nrows <= TINY_BUILD_ROWS
+            )
+            if not tiny and lcap >= (1 << 20) and rcap <= 4096:
+                # a floor-capacity build against a huge probe (HAVING /
+                # EXISTS results): one count sync (~28 ms) decides whether
+                # the direct-compare path can replace a probe-capacity
+                # sort pass (the q18 semi join compacts 8M rows otherwise)
+                tiny = rt.nrows <= TINY_BUILD_ROWS
+            _cache_put(("TINY",) + base_key, tiny)
         if tiny:
             return _tiny_semi_anti(lt, rt, on, join_type)
-    base_key = (_table_sig(lt), _table_sig(rt), repr(on), join_type, repr(filter))
 
     def trace_a(ld, lv, nl, rd, rv, nr, prep=None):
         ltv = _view(lt, ld, lv)
