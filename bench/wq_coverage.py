@@ -22,7 +22,7 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     from datafusion_tpu import ExecutionContext
-    from bench.tpch import get_query_sql, load_engine_tables
+    from bench.tpch import get_query_sql, load_engine_tables, run_query
     from bench.tpch_datagen import generate_tpch
     from bench.golden import table_to_rows
 
@@ -35,13 +35,13 @@ def main():
         sql = get_query_sql(q)
         try:
             t0 = time.perf_counter()
-            cold = table_to_rows(ctx.sql(sql).collect())
+            cold = table_to_rows(run_query(ctx, q))
             t_cold = time.perf_counter() - t0
             warm_rows = None
             times = []
             for _ in range(iters):
                 t0 = time.perf_counter()
-                warm_rows = table_to_rows(ctx.sql(sql).collect())
+                warm_rows = table_to_rows(run_query(ctx, q))
                 times.append(time.perf_counter() - t0)
             phys = None
             for (disp, _v), p in ctx._plan_cache.items():

@@ -658,6 +658,33 @@ class CrossJoinExec(ExecutionPlan):
 
 
 def cross_join_tables(lt: Table, rt: Table) -> Table:
+    # single-row side (scalar-subquery / null-aware-NOT-IN count shapes):
+    # broadcast that row across the other side's buffers — no index
+    # arithmetic, no host row counts, trace-pure under whole-query fusion
+    for flip in (False, True):
+        a, b = (lt, rt) if not flip else (rt, lt)
+        if isinstance(b._nrows, int) and b._nrows == 1:
+            cols, names = [], []
+            alive = jnp.arange(a.capacity) < a.nrows_dev
+            acols = [
+                Column(c.dtype, c.data, c.valid & alive, c.dictionary,
+                       vrange=c.vrange)
+                for c in a.columns
+            ]
+            bcols = [
+                Column(
+                    c.dtype,
+                    jnp.broadcast_to(c.data[0], (a.capacity,) + c.data.shape[1:]),
+                    jnp.broadcast_to(c.valid[0], (a.capacity,)) & alive,
+                    c.dictionary,
+                )
+                for c in b.columns
+            ]
+            l_out = acols if not flip else bcols
+            r_out = bcols if not flip else acols
+            return Table(
+                list(lt.names) + list(rt.names), l_out + r_out, a.nrows_dev
+            )
     total = lt.nrows * rt.nrows
     out_cap = round_capacity(max(total, 1))
     r = jnp.arange(out_cap)
