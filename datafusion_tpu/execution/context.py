@@ -77,6 +77,7 @@ def default_optimizer_rules() -> list:
     from ..optimizer.join_reorder import EliminateCrossJoins
     from ..optimizer.limit_pushdown import EliminateLimit, LimitPushDown
     from ..optimizer.projection_pushdown import ProjectionPushDown
+    from ..optimizer.semi_join_pushdown import PushdownSemiAnti
     from ..optimizer.simplify_expressions import SimplifyExpressions
 
     return [
@@ -89,6 +90,10 @@ def default_optimizer_rules() -> list:
         ConstantFolding(),
         SimplifyExpressions(),
         FilterPushDown(),
+        # semi/anti joins (decorrelated IN/EXISTS) sink below inner joins
+        # whose one side covers their probe columns: q18's HAVING semi
+        # filters orders BEFORE the customer/lineitem joins
+        PushdownSemiAnti(),
         ProjectionPushDown(),
         AggregateStatistics(),
         HashBuildProbeOrder(),
