@@ -319,8 +319,18 @@ def take_rows(datas: tuple, valids: tuple, idx: jnp.ndarray, extra_masks: tuple 
     total_words = sum(_words_per(datas[j]) for j in word_pos) + (
         len(masks) + 31
     ) // 32
-    if total_words <= 2 and len(f64_pos) <= 1:
-        # packing overhead isn't paid back below ~3 planes
+    cap = (datas[0] if datas else masks[0]).shape[0]
+    if (
+        (total_words <= 2 and len(f64_pos) <= 1)
+        # CPU: building the [cap, W] word matrix costs O(cap) copies; when
+        # the source is much larger than the gather (a streamed join's
+        # HBM-resident build side probed by 1M-row morsels out of a
+        # 16M-row table), per-column gathers win ~7x (measured cap=2^24,
+        # n=2^20: 10.3 s packed vs 1.4 s per-column).  TPU packing is
+        # bandwidth-cheap and its per-call gather cost dominates — keep
+        # the packed path there.
+        or (is_cpu_backend() and cap > 2 * idx.shape[0])
+    ):
         i32 = idx.astype(jnp.int32)
         return (
             tuple(
