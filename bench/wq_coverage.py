@@ -13,8 +13,13 @@ import time
 
 import jax
 
-if __name__ == "__main__" and "cpu" not in str(jax.devices()).lower():
-    pass  # keep whatever backend the launcher chose
+if __import__("os").environ.get("JAX_PLATFORMS"):
+    # re-assert the launcher's backend over the axon site hook (which
+    # forces 'axon,cpu' and can fail outright when the TPU is busy)
+    try:
+        jax.config.update("jax_platforms", __import__("os").environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover
+        pass
 
 
 def main():
