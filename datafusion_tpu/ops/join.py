@@ -274,7 +274,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
             # build side hashed/sorted ONCE outside the probe stream
             # (hash_join.rs:280-425 collect-once build): morsel loops
             # reuse it, so per-morsel cost scales with the morsel
-            sorted_hash, build_order, rl = prep
+            sorted_hash, build_order, rl = prep[0], prep[1], prep[2]
         else:
             rhash = K.hash_fold32(K.hash_columns(
                 [K.hashable_key(c.data, c.dtype) for c in rkeys],
@@ -325,7 +325,15 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
                         [c.valid for c in rkeys],
                     ))
                     sh, bo = K.join_build_sort(rhash, nr2)
-                    return sh, bo, K.build_run_lengths(sh)
+                    # phase B's verify keys too: evaluating them per
+                    # probe morsel costs O(build) elementwise work each
+                    # time (at SF10, several GB per morsel)
+                    rord = tuple(
+                        K.orderable_key(c.data, c.dtype, c.vrange)
+                        for c in rkeys
+                    )
+                    rval = tuple(c.valid for c in rkeys)
+                    return sh, bo, K.build_run_lengths(sh), rord, rval
 
                 pfn = jax.jit(trace_prep)
                 _cache_put(("P",) + base_key, pfn)
@@ -372,7 +380,7 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
                     ld, lv, nl, rd, rv, nr, prep
                 )
                 out_d, out_v, cnt, bflag = tb(
-                    ld, lv, nl, rd, rv, nr, lo, counts, build_order
+                    ld, lv, nl, rd, rv, nr, lo, counts, build_order, prep
                 )
                 flag = bflag | (stats[0] > expand_cap).astype(jnp.int32)
                 if fk:
@@ -410,15 +418,18 @@ def _join_tables_jit(lt, rt, on, join_type, filter, metrics=None, force_exact=Fa
     if metrics is not None:
         metrics.counter("join_candidates").add(total)
 
-    entry_b = _cache_get(("B", expand_cap) + base_key)
+    b_key = ("B", expand_cap, prep is not None) + base_key
+    entry_b = _cache_get(b_key)
     if entry_b is None:
         entry_b = jax.jit(
             _make_trace_b(
                 lt, rt, on, join_type, filter, lcap, rcap, expand_cap, None
             )
         )
-        _cache_put(("B", expand_cap) + base_key, entry_b)
-    out_d, out_v, cnt_dev, _bflag = entry_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order)
+        _cache_put(b_key, entry_b)
+    out_d, out_v, cnt_dev, _bflag = entry_b(
+        ld, lv, nl, rd, rv, nr, lo, counts, build_order, prep
+    )
     # learn the verified output size too (second host sync, cold runs
     # only): warm runs then emit right-sized outputs with zero syncs
     cnt = int(cnt_dev)
@@ -478,14 +489,22 @@ def _make_trace_b(lt, rt, on, join_type, filter, lcap, rcap, out_cap, final_cap,
             cnt = jnp.minimum(cnt, final_cap)
         return tuple(out_d), tuple(out_v), cnt, bflag
 
-    def phase_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order):
+    def phase_b(ld, lv, nl, rd, rv, nr, lo, counts, build_order, prep=None):
             ltv = _view(lt, ld, lv)
             rtv = _view(rt, rd, rv)
             lkeys, rkeys = _join_keys(ltv, rtv, on)
             lord = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in lkeys)
-            rord = tuple(K.orderable_key(c.data, c.dtype, c.vrange) for c in rkeys)
             lval = tuple(c.valid for c in lkeys)
-            rval = tuple(c.valid for c in rkeys)
+            if prep is not None and len(prep) >= 5:
+                # prepped build verify keys: re-deriving them here costs
+                # O(build) elementwise work per probe morsel (XLA DCE
+                # then prunes the dead rkeys evaluation above)
+                rord, rval = tuple(prep[3]), tuple(prep[4])
+            else:
+                rord = tuple(
+                    K.orderable_key(c.data, c.dtype, c.vrange) for c in rkeys
+                )
+                rval = tuple(c.valid for c in rkeys)
             bflag = jnp.int32(0)
             if fk:
                 # fan-out <= FK_MAX_RUN (flag-checked): scan each probe's
