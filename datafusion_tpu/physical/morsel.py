@@ -366,26 +366,10 @@ class MorselJoinStageExec(ExecutionPlan):
             rowid_idx = nfields if self.host_on_left else nb
 
         swap = _SwapSource(self.host.schema())
-        # the probe chain (filters/projections over each morsel) runs as
-        # ONE jitted stage per morsel shape — running the raw operator
-        # nodes paid ~20 eager dispatches + per-op compaction per morsel
-        # (the dominant host-side term of streamed q12); the stage folds
-        # filters into validity masks and compacts once at exit
-        probe_stage = None
-        if self.host_chain:
-            pc = getattr(self, "_probe_stage_cache", None)
-            if pc is None:
-                chain_plan: ExecutionPlan = swap
-                for op in reversed(self.host_chain):
-                    chain_plan = op.with_new_children([chain_plan])
-                pc = CompiledStage(chain_plan, source_node=swap)
-                self._probe_stage_cache = pc
-            probe_stage = self._probe_stage_cache
-            probe_schema = probe_stage.out_schema
-        else:
-            probe_schema = self.host.schema()
-        probe_in = _SwapSource(probe_schema)
-        kids = [probe_in, bmem] if self.host_on_left else [bmem, probe_in]
+        probe: ExecutionPlan = swap
+        for op in reversed(self.host_chain):
+            probe = op.with_new_children([probe])
+        kids = [probe, bmem] if self.host_on_left else [bmem, probe]
         join_node = per_join.with_new_children(kids)
 
         # downstream tree over the ORIGINAL join output schema (a second
@@ -415,10 +399,7 @@ class MorselJoinStageExec(ExecutionPlan):
             if i + 1 < m:
                 # prefetch rides under this morsel's compute (async dispatch)
                 nxt = host.morsel(i + 1)
-            if probe_stage is not None:
-                probe_in.table = probe_stage.execute(shrink=True, src=cur)
-            else:
-                probe_in.table = cur
+            swap.table = cur
             jt_out = join_node.execute()
             if device_outer:
                 rid = jt_out.columns[rowid_idx]
