@@ -91,9 +91,48 @@ def full_suite():
           file=sys.stderr)
 
 
+def _ensure_backend():
+    """The axon (remote-TPU) backend can be DOWN (tunnel outages of
+    hours were observed); a crashed headline run records nothing, so
+    probe first and fall back to CPU with the backend labeled in the
+    output line rather than raising."""
+    import subprocess
+
+    for _ in range(2):
+        try:
+            # DEVNULL, not capture: the remote-TPU plugin can spawn a
+            # tunnel helper that inherits captured pipes and never closes
+            # them — communicate() would then block past the timeout kill
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                timeout=300,
+            )
+            if r.returncode == 0:
+                return "device"
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(20)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover
+        pass
+    return "cpu-fallback"
+
+
 def main():
     sf = float(os.environ.get("BENCH_SF", "1.0"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    backend_state = "device"
+    if not os.environ.get("JAX_PLATFORMS"):
+        try:
+            backend_state = _ensure_backend()
+        except Exception:
+            backend_state = "device"  # probe machinery failed: try normally
 
     import jax
 
@@ -150,16 +189,16 @@ def main():
         times.append((time.perf_counter() - t0) * 1000)
 
     ms = statistics.median(times)
-    print(
-        json.dumps(
-            {
-                "metric": f"tpch_q1_sf{sf:g}_latency",
-                "value": round(ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_Q1_SF1_MS / ms, 3),
-            }
-        )
-    )
+    out = {
+        "metric": f"tpch_q1_sf{sf:g}_latency",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_Q1_SF1_MS / ms, 3),
+    }
+    if backend_state != "device":
+        out["backend"] = jax.devices()[0].platform
+        out["note"] = "TPU backend unavailable; CPU fallback"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
