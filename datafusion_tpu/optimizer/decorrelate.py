@@ -37,6 +37,7 @@ from ..logical.expr import (
     Expr,
     InSubquery,
     IsNotNull,
+    IsNull,
     Literal,
     Not,
     OuterColumn,
@@ -168,6 +169,53 @@ def _rewrite_conjunct(c: Expr, input_plan: LogicalPlan):
                 "and",
                 BinaryExpr(
                     IsNotNull(c.expr), "or", BinaryExpr(total_c, "=", Literal(ScalarValue.of(0)))
+                ),
+            )
+            return guard, plan
+        if c.negated and keys and residual is None:
+            # NULL-aware NOT IN (correlated): same three-valued semantics,
+            # but evaluated PER GROUP of the correlation keys — a NULL in
+            # row r's group disqualifies r; a NULL probe qualifies only
+            # when r's group is empty.  LEFT-join a per-group
+            # [count(*), count(value)] aggregate of the stripped subquery
+            # on the correlation keys; an unmatched row (total IS NULL)
+            # means the group is empty:
+            #   total IS NULL OR (total = nn AND probe IS NOT NULL)
+            # The anti join above already removed rows matching a non-null
+            # subquery value in their group.
+            n = next(_alias_counter)
+            galias, calias = f"__naaj_g_{n}", f"__naaj_c_{n}"
+            total_name, nn_name = f"__naaj_total_{n}", f"__naaj_nn_{n}"
+            counts = SubqueryAlias(
+                Aggregate(
+                    SubqueryAlias(sub.input, galias),
+                    [Column(k.name, galias) for (_o, k) in keys],
+                    [
+                        Alias(AggregateFunction("count", []), total_name),
+                        Alias(
+                            AggregateFunction(
+                                "count", [Column(value_field.name, galias)]
+                            ),
+                            nn_name,
+                        ),
+                    ],
+                ),
+                calias,
+            )
+            plan = Join(
+                plan,
+                counts,
+                [(outer, Column(k.name, calias)) for (outer, k) in keys],
+                "left",
+                None,
+            )
+            total_c = Column(total_name, calias)
+            nn_c = Column(nn_name, calias)
+            guard = BinaryExpr(
+                IsNull(total_c),
+                "or",
+                BinaryExpr(
+                    BinaryExpr(total_c, "=", nn_c), "and", IsNotNull(c.expr)
                 ),
             )
             return guard, plan

@@ -52,6 +52,36 @@ def test_null_aware_not_in(order):
         assert got == {"s": want}, tb
 
 
+def test_null_aware_not_in_correlated():
+    """Per-group 3VL for correlated NOT IN (verified against sqlite):
+    a NULL in row r's GROUP disqualifies r; a NULL probe qualifies only
+    when r's group is empty; an outer NULL correlation key means an
+    empty group (= qualifies)."""
+    ctx = ExecutionContext()
+    ctx.register_table(
+        "o",
+        Table.from_pydict(
+            {
+                "id": [1, 2, 3, 4, 5, 6],
+                "g": [1, 2, 2, 2, 3, None],
+                "x": [99, 99, 10, None, None, 5],
+            }
+        ),
+    )
+    ctx.register_table(
+        "s", Table.from_pydict({"g": [1, 1, 2], "v": [10, None, 10]})
+    )
+    got = ctx.sql(
+        "SELECT id FROM o WHERE x NOT IN (SELECT v FROM s WHERE s.g = o.g) "
+        "ORDER BY id"
+    ).collect().to_pydict()
+    # id=1: group {10,NULL} -> NULL -> out; id=2: 99 NOT IN {10} -> in;
+    # id=3: 10 IN {10} -> out; id=4: NULL probe, non-empty group -> out;
+    # id=5: empty group -> in (even with NULL probe); id=6: NULL key ->
+    # empty group -> in
+    assert got == {"id": [2, 5, 6]}
+
+
 def test_in_subquery_null_semantics():
     ctx = _ctx()
     # positive IN: NULL probe/build rows simply never match
