@@ -137,6 +137,7 @@ class WholeQuery:
         self.phys = phys
         self._fn = None
         self._out_meta = None  # (names, [(dtype, dictionary, vrange)])
+        self._has_flag = False  # set at trace time: any speculative flags?
         self._attempts = 0
         # fast-fail: plans containing host-streaming (morsel) or
         # host-formatting nodes can never whole-trace — marking them dead
@@ -190,8 +191,15 @@ class WholeQuery:
                 self._fn = None
                 return None
         names, col_meta = self._out_meta
-        *bufs, nrows, flag = outs
-        K.spec_record(flag)
+        if self._has_flag:
+            *bufs, nrows, flag = outs
+            K.spec_record(flag)
+        else:
+            # flag-free trace (no speculative joins/stages): emitting a
+            # constant-zero flag would cost the window's one host sync
+            # (~28 ms through the TPU tunnel) on queries that never
+            # needed it — q1/q6-class single-stage plans
+            *bufs, nrows = outs
         half = len(bufs) // 2
         cols = [
             Column(dt, d, v, dic, vrange=vr)
@@ -228,9 +236,7 @@ class WholeQuery:
                 _TRACE.bindings = None
                 traced_flags = s.flags[base_len:]
                 del s.flags[base_len:]
-            flag = jnp.int32(0)
-            for f in traced_flags:
-                flag = flag + jnp.asarray(f, jnp.int32)
+            self._has_flag = bool(traced_flags)
             self._out_meta = (
                 list(out.names),
                 [(c.dtype, c.dictionary, c.vrange) for c in out.columns],
@@ -238,7 +244,13 @@ class WholeQuery:
             bufs = tuple(c.data for c in out.columns) + tuple(
                 c.valid for c in out.columns
             )
-            return bufs + (jnp.asarray(out.nrows_dev), flag)
+            outs = bufs + (jnp.asarray(out.nrows_dev),)
+            if traced_flags:
+                flag = jnp.int32(0)
+                for f in traced_flags:
+                    flag = flag + jnp.asarray(f, jnp.int32)
+                outs = outs + (flag,)
+            return outs
 
         s = K.SPECULATION
         snap = len(s.flags)
